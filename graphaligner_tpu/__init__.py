@@ -1,0 +1,33 @@
+"""graphaligner_tpu — a TPU-native sequence-to-graph alignment framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the bit-parallel sequence-to-graph
+aligner (reference: TankMermaid/GraphAligner, an early GraphAligner fork).
+
+Layer map (mirrors the reference's five layers, re-architected TPU-first):
+
+  io/        serialization & I/O — GFA, vg protobuf wire codec, GAM streams,
+             FASTQ/FASTA (reference L0: stream.hpp, vg.pb, fastqloader,
+             GfaGraph, CommonUtils)
+  graph/     graph preprocessing — bigraph→digraph doubling, the device-array
+             AlignmentGraph index, SCC condensation (reference L1:
+             BigraphToDigraph, AlignmentGraph)
+  ops/       the compute kernels — emulated 64-bit word ops, Myers
+             block-advance, WordSlice merge; jnp reference impls and Pallas
+             TPU kernels (reference L2 inner loops: WordSlice.h,
+             GraphAligner.h getNextSlice/mergeTwoSlices)
+  core/      the alignment engine — batched slice DP, banding, correctness
+             HMM, backtrace, seed-and-extend orchestration (reference L2:
+             GraphAligner.h)
+  parallel/  device mesh / multi-host sharding (no reference counterpart —
+             the reference is single-process pthreads)
+  runtime/   driver + CLI (reference L3: Aligner.cpp, AlignerMain.cpp)
+  tools/     ecosystem tools (reference L4: SimulateReads, CompareAlignments,
+             PickSeedHits, Bluntify, VisualizeAlignment, ...)
+
+The key architectural translation: the reference packs 64 DP cells per CPU
+word (Myers bit-parallelism). Here each 64-row word is a pair of uint32
+lanes, and every word op is vectorized across a *batch* of alignment
+problems on the TPU VPU — 64×batch cells per vector op.
+"""
+
+__version__ = "0.1.0"
