@@ -1,0 +1,164 @@
+"""The alignment driver (reference Aligner.cpp).
+
+Loads the graph / reads / seeds, aligns every read, writes per-read GAM
+and trace files incrementally (so a crashed run's completed reads
+survive, Aligner.cpp:177-201), converts digraph ids back to bigraph ids
+(÷2, Aligner.cpp:83-91), and concatenates results into the output GAM.
+
+Read scheduling matches the reference: reads are popped from the back of
+the queue (Aligner.cpp:113-115), so single-worker output order equals
+the reference's single-thread order. Failures are isolated per read
+(the reference catches AssertionFailure; here any exception is caught
+and the read skipped, Aligner.cpp:124-148).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import traceback
+
+from ..core.align import align_one_way_full_band, align_one_way_seeded
+from ..core.params import AlignerParams
+from ..core.result import INT32_MAX, AlignmentResult
+from ..graph.bigraph import load_alignment_graph
+from ..io import load_fastq, stream, vg
+
+
+def replace_digraph_node_ids(alignment: vg.Alignment) -> None:
+    for m in alignment.path.mapping:
+        m.position.node_id //= 2
+
+
+def write_trace(trace, path: str) -> None:
+    """Trace file format of the reference's writeTrace (Aligner.cpp:93-100):
+    nodeID offset reverse readpos type graphChar readChar."""
+    with open(path, "w") as f:
+        for t in trace:
+            f.write(
+                f"{t.node_id} {t.offset} {1 if t.reverse else 0} {t.readpos} "
+                f"{int(t.type)} {t.graph_char} {t.read_char}\n"
+            )
+
+
+def _safe_filename(name: str) -> str:
+    return name.replace("/", "_").replace(":", "_")
+
+
+def load_seed_hits(seed_file: str, read_names) -> dict:
+    """read name → [(node id, query position, is_reverse)]
+    (reference Aligner.cpp:245-273)."""
+    seeds: dict = {}
+    for a in stream.read_messages(seed_file, vg.Alignment):
+        seeds.setdefault(a.name, []).append(
+            (
+                a.path.mapping[0].position.node_id,
+                a.query_position,
+                a.path.mapping[0].position.is_reverse,
+            )
+        )
+    return {name: seeds.get(name, []) for name in read_names}
+
+
+def align_reads(params: AlignerParams, log=print, output_dir: str = ".", slice_backend=None) -> list:
+    """Align all reads; returns the list of output vg Alignments."""
+    fastqs = load_fastq(params.fastq_file)
+    log(f"{len(fastqs)} reads")
+    seed_hits = None
+    if params.seed_file:
+        seed_hits = load_seed_hits(params.seed_file, [f.seq_id for f in fastqs])
+    log(f"load graph from {params.graph_file}")
+    graph = load_alignment_graph(params.graph_file)
+    s = graph.stats
+    log(f"{s.nodes} nodes\n{s.bp}bp\n{s.edges} edges\n{s.high_in_degree_nodes} nodes with in-degree >= 2")
+
+    backend_kwargs = {}
+    if slice_backend is not None:
+        backend_kwargs["slice_backend"] = slice_backend
+
+    alignments: list = []
+    queue = list(fastqs)
+    while queue:
+        fastq = queue.pop()  # back-first, like the reference's shared stack
+        log(f"thread 0 {len(queue)} left")
+        log(f"read {fastq.seq_id} size {len(fastq.sequence)}bp")
+        try:
+            if seed_hits is None:
+                result = align_one_way_full_band(
+                    graph,
+                    fastq.seq_id,
+                    fastq.sequence,
+                    params.initial_bandwidth,
+                    params.ramp_bandwidth,
+                    **backend_kwargs,
+                )
+            else:
+                if not seed_hits.get(fastq.seq_id):
+                    log(f"read {fastq.seq_id} has no seed hits")
+                    log(f"read {fastq.seq_id} alignment failed")
+                    continue
+                result = align_one_way_seeded(
+                    graph,
+                    fastq.seq_id,
+                    fastq.sequence,
+                    params.initial_bandwidth,
+                    params.ramp_bandwidth,
+                    seed_hits[fastq.seq_id],
+                    logger=log,
+                    **backend_kwargs,
+                )
+        except Exception:
+            log(f"read {fastq.seq_id} alignment failed (exception!)")
+            traceback.print_exc(file=sys.stderr)
+            continue
+        log(f"read {fastq.seq_id} took {result.elapsed_milliseconds}ms")
+        if result.alignment_failed or result.alignment.score == INT32_MAX:
+            log(f"read {fastq.seq_id} alignment failed")
+            continue
+        log(f"read {fastq.seq_id} score {result.alignment.score}")
+        if result.alignment.score > len(fastq.sequence) * 0.25:
+            log(f"read {fastq.seq_id} score is poor: {result.alignment.score}")
+        log(
+            f"read {fastq.seq_id} alignment positions: "
+            f"{result.alignment_start}-{result.alignment_end} "
+            f"(read {len(fastq.sequence)}bp)"
+        )
+        replace_digraph_node_ids(result.alignment)
+        alignments.append(result.alignment)
+        name = _safe_filename(fastq.seq_id)
+        gam_path = os.path.join(output_dir, f"alignment_0_{name}.gam")
+        stream.write_messages(gam_path, [result.alignment])
+        write_trace(result.trace, os.path.join(output_dir, f"trace_0_{name}.trace"))
+
+    log(f"final result has {len(alignments)} alignments")
+    if params.alignment_file:
+        stream.write_messages(params.alignment_file, alignments)
+    if params.auggraph_file:
+        graphs = stream.read_messages(params.graph_file, vg.Graph)
+        aug = augment_graph_with_alignments(graphs, alignments)
+        stream.write_messages(params.auggraph_file, [aug])
+    return alignments
+
+
+def augment_graph_with_alignments(graphs: list, alignments: list) -> vg.Graph:
+    """Embed alignment-path edges into the graph
+    (reference augmentGraphwithAlignment, Aligner.cpp:24-74)."""
+    aug = vg.Graph()
+    for g in graphs:
+        for node in g.node:
+            aug.node.append(
+                vg.Node(id=node.id, sequence=node.sequence, name=node.name)
+            )
+    for aln in alignments:
+        maps = aln.path.mapping
+        for i in range(len(maps) - 1):
+            aug.edge.append(
+                vg.Edge(
+                    from_=maps[i].position.node_id,
+                    to=maps[i + 1].position.node_id,
+                    from_start=maps[i].position.is_reverse,
+                    to_end=maps[i + 1].position.is_reverse,
+                    overlap=0,
+                )
+            )
+    return aug
