@@ -1,0 +1,71 @@
+"""Device engine tests (run on the CPU backend in CI).
+
+The v1 engine computes exhaustive-mode (unbounded bandwidth) alignments;
+it must agree exactly with the oracle pipeline run at a huge bandwidth,
+and therefore transitively with the brute-force property tests.
+"""
+
+import numpy as np
+import pytest
+
+from graphaligner_tpu.core.align import align_one_way_full_band
+from graphaligner_tpu.core.engine import (
+    BatchAligner,
+    align_batch_full_band,
+    build_schedule,
+)
+from graphaligner_tpu.graph import load_alignment_graph, graph_from_gfa_file
+from graphaligner_tpu.io import load_fastq
+from graphaligner_tpu.ops.packing import pack_deltas, unpack_deltas_np
+
+SIM = "tests/fixtures/sim"
+
+
+def test_pack_unpack_roundtrip():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    sbs = rng.integers(0, 100, size=(5,)).astype(np.int32)
+    deltas = rng.integers(-1, 2, size=(5, 64))
+    scores = sbs[:, None] + np.cumsum(deltas, axis=1)
+    packed = pack_deltas(jnp.asarray(scores.astype(np.int32)), jnp.asarray(sbs))
+    back = unpack_deltas_np(*[np.asarray(p) for p in packed], sbs)
+    assert (back == scores).all()
+
+
+@pytest.fixture(scope="module")
+def sim_graph():
+    return load_alignment_graph(f"{SIM}/bubbles.vg")
+
+
+@pytest.fixture(scope="module")
+def sim_reads():
+    return load_fastq(f"{SIM}/sim.fastq")
+
+
+def test_engine_matches_oracle_exhaustive(sim_graph, sim_reads):
+    reads = sim_reads[:6]
+    results = align_batch_full_band(sim_graph, reads)
+    for read, res in zip(reads, results):
+        oracle = align_one_way_full_band(
+            sim_graph, read.seq_id, read.sequence, 10**6, 0
+        )
+        assert res.alignment.score == oracle.alignment.score, read.seq_id
+        assert res.alignment == oracle.alignment, read.seq_id
+
+
+def test_engine_mixed_lengths(sim_graph, sim_reads):
+    # different-length reads in one batch must each behave as if aligned
+    # alone (N-padding prefix property)
+    reads = [sim_reads[0], sim_reads[1]]
+    short = type(reads[0])(seq_id="short", sequence=reads[0].sequence[:100], quality="!" * 100)
+    batch = [short, reads[1]]
+    results = align_batch_full_band(sim_graph, batch)
+    solo = align_batch_full_band(sim_graph, [short])
+    assert results[0].alignment == solo[0].alignment
+
+
+def test_engine_rejects_cyclic_graphs():
+    g = graph_from_gfa_file(f"{SIM}/cyclic.gfa")
+    with pytest.raises(ValueError, match="cyclic"):
+        build_schedule(g)
