@@ -116,6 +116,22 @@ def build_schedule(graph: AlignmentGraph) -> DeviceSchedule:
     )
 
 
+def _cummin_rows(x, ar_like):
+    """Prefix-min along axis 0 (the 64-row axis) via log-shifts; rows are
+    the major axis so every shift is a cheap sublane move."""
+    import jax.numpy as jnp
+
+    k = 1
+    n = x.shape[0]
+    while k < n:
+        shifted = jnp.concatenate(
+            [jnp.full((k,) + x.shape[1:], INF, x.dtype), x[:-k]], axis=0
+        )
+        x = jnp.minimum(x, shifted)
+        k *= 2
+    return x
+
+
 @functools.partial(
     __import__("jax").jit, static_argnames=("num_slices", "num_nodes")
 )
@@ -129,6 +145,8 @@ def _align_batch_device(
     num_slices: int,
     num_nodes: int,
 ):
+    """Layout note: score columns are [64 rows, batch] so the batch rides
+    the 128-wide lane dimension and the 64 rows the sublanes."""
     import jax
     import jax.numpy as jnp
 
@@ -136,89 +154,88 @@ def _align_batch_device(
 
     B = read_codes.shape[0]
     P = sched_code.shape[0]
-    ar64 = jnp.arange(WORD_SIZE, dtype=jnp.int32)
+    max_indeg = sched_pred_nodes.shape[1]
+    ar64 = jnp.arange(WORD_SIZE, dtype=jnp.int32)[:, None]  # [64,1]
     match_table = jnp.asarray(_MATCH_TABLE)
 
     def slice_step(old_end, s):
-        # old_end: [B, P] previous slice last-row scores (schedule order)
+        # old_end: [P, B] previous slice last-row scores (schedule order)
         rows_codes = jax.lax.dynamic_slice(
             read_codes, (0, s * WORD_SIZE), (B, WORD_SIZE)
         )
-        # match_slice [B, 64, 5]
-        match_slice = match_table[rows_codes]
+        # match_by_code [5, 64, B]
+        match_by_code = jnp.transpose(match_table[rows_codes], (2, 1, 0))
 
         def column_step(carry, xs):
             prev_scores, prev_sbs, prev_e, store_scores, store_sbs, store_e = carry
+            # prev_scores [64,B]; store_scores [N,64,B]; store_sbs/e [N,B]
             code_t, start_t, source_start_t, preds_t, slot_t, old_end_t = xs
-            m = jax.lax.dynamic_index_in_dim(
-                match_slice, code_t, axis=2, keepdims=False
-            )  # [B, 64]
+            m = match_by_code[code_t]  # [64, B]
 
             def advance(p_scores, p_sbs, p_e):
                 # base[r] = min(horizontal p[r]+1, diagonal p[r-1]+cost)
                 diag_prev = jnp.concatenate(
-                    [p_sbs[..., None], p_scores[..., :-1]], axis=-1
+                    [p_sbs[None], p_scores[:-1]], axis=0
                 )
-                mm = m if p_scores.ndim == 2 else m[:, None, :]
-                cost = jnp.broadcast_to(
-                    jnp.where(mm, 0, 1).astype(jnp.int32), p_scores.shape
-                )
+                cost = jnp.where(m, 0, 1).astype(jnp.int32)
                 # row 0 match requires the predecessor's sbs to exist
-                cost = cost.at[..., 0].set(
-                    jnp.where(mm[..., 0] & p_e, 0, 1).astype(jnp.int32)
-                )
+                row0 = jnp.where(m[0] & p_e, 0, 1).astype(jnp.int32)
+                cost = jnp.concatenate([row0[None], cost[1:]], axis=0)
                 return jnp.minimum(p_scores + 1, diag_prev + cost)
 
             # within-node path
-            base_chain = advance(prev_scores, prev_sbs, prev_e)
+            base = advance(prev_scores, prev_sbs, prev_e)
+            r_t = prev_sbs + 1
             # node-start path: fold min over advanced in-neighbor columns
-            pred_valid = preds_t >= 0  # [max_indeg]
-            safe = jnp.maximum(preds_t, 0)
-            g_scores = store_scores[:, safe]  # [B, max_indeg, 64]
-            g_sbs = store_sbs[:, safe]
-            g_e = store_e[:, safe]
-            adv = advance(g_scores, g_sbs, g_e)  # [B, max_indeg, 64]
-            adv = jnp.where(pred_valid[None, :, None], adv, INF)
-            base_start = jnp.min(adv, axis=1)  # [B, 64]
-            base = jnp.where(start_t, base_start, base_chain)
-
-            # row j-1 (sbs) closure step
-            r_pred_chain = prev_sbs + 1
-            r_pred_start = jnp.min(
-                jnp.where(pred_valid[None, :], g_sbs + 1, INF), axis=1
-            )
-            r_t = jnp.minimum(
-                old_end_t, jnp.where(start_t, r_pred_start, r_pred_chain)
-            )
+            if max_indeg:
+                base_start = jnp.full_like(base, INF)
+                r_start = jnp.full_like(prev_sbs, INF)
+                for k in range(max_indeg):
+                    pred = preds_t[k]
+                    valid = pred >= 0
+                    safe = jnp.maximum(pred, 0)
+                    adv = advance(
+                        store_scores[safe], store_sbs[safe], store_e[safe]
+                    )
+                    base_start = jnp.minimum(
+                        base_start, jnp.where(valid, adv, INF)
+                    )
+                    r_start = jnp.minimum(
+                        r_start, jnp.where(valid, store_sbs[safe] + 1, INF)
+                    )
+                base = jnp.where(start_t, base_start, base)
+                r_t = jnp.where(start_t, r_start, r_t)
+            r_t = jnp.minimum(old_end_t, r_t)
             e_t = r_t == old_end_t
 
-            # vertical from own sbs
-            base = base.at[:, 0].min(r_t + 1)
-            # free-start diagonal for source nodes at slice 0
-            sm_cost = jnp.where(m[:, 0], 0, 1).astype(jnp.int32)
-            base = base.at[:, 0].min(
-                jnp.where(source_start_t & (s == 0), r_t + sm_cost, INF)
+            # vertical from own sbs; free-start diagonal for source nodes
+            # at slice 0
+            sm_cost = jnp.where(m[0], 0, 1).astype(jnp.int32)
+            row0 = jnp.minimum(base[0], r_t + 1)
+            row0 = jnp.minimum(
+                row0, jnp.where(source_start_t & (s == 0), r_t + sm_cost, INF)
             )
+            base = jnp.concatenate([row0[None], base[1:]], axis=0)
             # 64-row vertical closure via prefix-min
-            cur = jax.lax.cummin(base - ar64, axis=1) + ar64
+            cur = _cummin_rows(base - ar64, ar64) + ar64
 
-            store_scores = store_scores.at[:, slot_t].set(cur)
-            store_sbs = store_sbs.at[:, slot_t].set(r_t)
-            store_e = store_e.at[:, slot_t].set(e_t)
-            vp_lo, vp_hi, vn_lo, vn_hi = pack_deltas(cur, r_t)
-            out = (vp_lo, vp_hi, vn_lo, vn_hi, r_t, cur[:, WORD_SIZE - 1])
+            store_scores = store_scores.at[slot_t].set(cur)
+            store_sbs = store_sbs.at[slot_t].set(r_t)
+            store_e = store_e.at[slot_t].set(e_t)
+            vp_lo, vp_hi, vn_lo, vn_hi = pack_deltas(cur.T, r_t)
+            out = (vp_lo, vp_hi, vn_lo, vn_hi, r_t, cur[WORD_SIZE - 1])
             return (
                 (cur, r_t, e_t, store_scores, store_sbs, store_e),
                 out,
             )
 
         init = (
-            jnp.full((B, WORD_SIZE), INF, dtype=jnp.int32),
+            jnp.full((WORD_SIZE, B), INF, dtype=jnp.int32),
             jnp.full((B,), INF, dtype=jnp.int32),
             jnp.zeros((B,), dtype=bool),
-            jnp.full((B, num_nodes, WORD_SIZE), INF, dtype=jnp.int32),
-            jnp.full((B, num_nodes), INF, dtype=jnp.int32),
-            jnp.zeros((B, num_nodes), dtype=bool),
+            jnp.full((num_nodes, WORD_SIZE, B), INF, dtype=jnp.int32),
+            jnp.full((num_nodes, B), INF, dtype=jnp.int32),
+            jnp.zeros((num_nodes, B), dtype=bool),
         )
         xs = (
             sched_code,
@@ -226,13 +243,13 @@ def _align_batch_device(
             sched_is_source_start,
             sched_pred_nodes,
             sched_node_slot,
-            old_end.T,  # [P, B]
+            old_end,  # [P, B]
         )
-        _, outs = jax.lax.scan(column_step, init, xs)
+        _, outs = jax.lax.scan(column_step, init, xs, unroll=8)
         vp_lo, vp_hi, vn_lo, vn_hi, sbs, score_end = outs  # each [P, B]
-        return score_end.T, (vp_lo, vp_hi, vn_lo, vn_hi, sbs, score_end)
+        return score_end, (vp_lo, vp_hi, vn_lo, vn_hi, sbs, score_end)
 
-    init_old_end = jnp.zeros((B, P), dtype=jnp.int32)
+    init_old_end = jnp.zeros((P, B), dtype=jnp.int32)
     _, per_slice = jax.lax.scan(
         slice_step, init_old_end, jnp.arange(num_slices, dtype=jnp.int32)
     )

@@ -5,13 +5,19 @@ XLA's host-platform device emulation.
 """
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is initialized. Note: this machine's environment
+# pre-sets JAX_PLATFORMS=axon (the remote-TPU plugin) via sitecustomize, so
+# overriding the env var is not enough — force it through jax.config.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
