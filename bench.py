@@ -67,29 +67,33 @@ def main():
     from graphaligner_tpu.graph import load_alignment_graph
     from graphaligner_tpu.io import load_fastq
 
+    from graphaligner_tpu.core.engine import _MATCH_TABLE
+    from graphaligner_tpu.core.engine_wave import (
+        _align_batch_wavefront,
+        build_skewed_schedule,
+    )
+    from graphaligner_tpu.ops.pallas.exhaustive import _build_eq_vectors
+
     graph = load_alignment_graph(f"{SIM}/bubbles.vg")
     reads = load_fastq(f"{SIM}/sim.fastq")
     ba = BatchAligner(graph)
 
-    B = 1024
+    B = 512
     S = max((len(r.sequence) + 63) // 64 for r in reads)
     codes = np.full((B, S * 64), _READ_CODE["N"], dtype=np.uint8)
     for i in range(B):
         seq = reads[i % len(reads)].sequence
         codes[i, : len(seq)] = encode_read(seq)
 
-    args = (
-        jnp.asarray(codes),
-        jnp.asarray(ba.sched.code),
-        jnp.asarray(ba.sched.is_start),
-        jnp.asarray(ba.sched.is_source_start),
-        jnp.asarray(ba.sched.pred_nodes),
-        jnp.asarray(ba.sched.node_slot),
+    P = len(ba.sched.cell_pos)
+    sk_args = tuple(
+        jnp.asarray(x) for x in build_skewed_schedule(ba.sched, S)[:5]
     )
+    eq = jnp.asarray(_build_eq_vectors(codes, _MATCH_TABLE, S))
 
     def run():
-        out = _align_batch_device(
-            *args, num_slices=S, num_nodes=ba.sched.num_nodes
+        out = _align_batch_wavefront(
+            eq, *sk_args, num_slices=S, num_nodes=ba.sched.num_nodes, P=P
         )
         # force completion with a tiny fetch (block_until_ready does not
         # reliably block on the axon remote platform)

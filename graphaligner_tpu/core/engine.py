@@ -326,7 +326,9 @@ class BatchAligner:
         self.graph = graph
         self.sched = build_schedule(graph)
 
-    def compute_tables(self, sequences: list, num_slices: int | None = None):
+    def compute_tables(
+        self, sequences: list, num_slices: int | None = None, backend: str = "wavefront"
+    ):
         """Returns per-read lists of DeviceSliceView (slice 0..S_b-1) plus
         the per-read initial slice, and per-slice min scores."""
         import jax.numpy as jnp
@@ -339,17 +341,37 @@ class BatchAligner:
         codes = np.full((B, S * WORD_SIZE), _READ_CODE["N"], dtype=np.uint8)
         for i, s in enumerate(sequences):
             codes[i, : len(s)] = encode_read(s)
-        out = _align_batch_device(
-            jnp.asarray(codes),
-            jnp.asarray(self.sched.code),
-            jnp.asarray(self.sched.is_start),
-            jnp.asarray(self.sched.is_source_start),
-            jnp.asarray(self.sched.pred_nodes),
-            jnp.asarray(self.sched.node_slot),
-            num_slices=S,
-            num_nodes=self.sched.num_nodes,
-        )
-        host = [np.asarray(x) for x in out]  # each [S, P, B]
+        if backend == "wavefront":
+            from ..ops.pallas.exhaustive import _build_eq_vectors
+            from .engine_wave import (
+                _align_batch_wavefront,
+                build_skewed_schedule,
+                deskew,
+            )
+
+            P = len(self.sched.cell_pos)
+            sk = build_skewed_schedule(self.sched, S)
+            eq = _build_eq_vectors(codes, _MATCH_TABLE, S)
+            out = _align_batch_wavefront(
+                jnp.asarray(eq),
+                *[jnp.asarray(x) for x in sk[:5]],
+                num_slices=S,
+                num_nodes=self.sched.num_nodes,
+                P=P,
+            )
+            host = deskew([np.asarray(x) for x in out], P, S)
+        else:
+            out = _align_batch_device(
+                jnp.asarray(codes),
+                jnp.asarray(self.sched.code),
+                jnp.asarray(self.sched.is_start),
+                jnp.asarray(self.sched.is_source_start),
+                jnp.asarray(self.sched.pred_nodes),
+                jnp.asarray(self.sched.node_slot),
+                num_slices=S,
+                num_nodes=self.sched.num_nodes,
+            )
+            host = [np.asarray(x) for x in out]  # each [S, P, B]
         vp_lo, vp_hi, vn_lo, vn_hi, sbs, score_end = host
         tables = []
         for b in range(B):

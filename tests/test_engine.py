@@ -69,3 +69,60 @@ def test_engine_rejects_cyclic_graphs():
     g = graph_from_gfa_file(f"{SIM}/cyclic.gfa")
     with pytest.raises(ValueError, match="cyclic"):
         build_schedule(g)
+
+
+def test_wavefront_backend_matches_column_backend(sim_graph, sim_reads):
+    """The wavefront-scheduled engine must produce bit-identical packed
+    slices to the column-scan engine."""
+    import jax.numpy as jnp
+    from graphaligner_tpu.core.engine import (
+        _MATCH_TABLE,
+        _align_batch_device,
+        encode_read,
+        _READ_CODE,
+    )
+    from graphaligner_tpu.core.engine_wave import (
+        _align_batch_wavefront,
+        build_skewed_schedule,
+        deskew,
+    )
+    from graphaligner_tpu.ops.pallas.exhaustive import _build_eq_vectors
+
+    ba = BatchAligner(sim_graph)
+    B, S = 4, 3  # small: 192 rows cover the read prefixes
+    seqs = [r.sequence[: S * 64 - 10] for r in sim_reads[:B]]
+    codes = np.full((B, S * 64), _READ_CODE["N"], dtype=np.uint8)
+    for i, s in enumerate(seqs):
+        codes[i, : len(s)] = encode_read(s)
+    P = len(ba.sched.cell_pos)
+    sk = build_skewed_schedule(ba.sched, S)
+    eq = _build_eq_vectors(codes, _MATCH_TABLE, S)
+    wave = deskew(
+        [
+            np.asarray(x)
+            for x in _align_batch_wavefront(
+                jnp.asarray(eq),
+                *[jnp.asarray(x) for x in sk[:5]],
+                num_slices=S,
+                num_nodes=ba.sched.num_nodes,
+                P=P,
+            )
+        ],
+        P,
+        S,
+    )
+    ref = [
+        np.asarray(x)
+        for x in _align_batch_device(
+            jnp.asarray(codes),
+            jnp.asarray(ba.sched.code),
+            jnp.asarray(ba.sched.is_start),
+            jnp.asarray(ba.sched.is_source_start),
+            jnp.asarray(ba.sched.pred_nodes),
+            jnp.asarray(ba.sched.node_slot),
+            num_slices=S,
+            num_nodes=ba.sched.num_nodes,
+        )
+    ]
+    for name, a, b in zip(["vp_lo", "vp_hi", "vn_lo", "vn_hi", "sbs", "send"], wave, ref):
+        assert (a == b).all(), name
