@@ -56,12 +56,26 @@ def graph_from_gfa_file(path: str) -> AlignmentGraph:
     """Build from a GFA file; node sequences are trimmed by the uniform
     edge overlap (reference BigraphToDigraph.cpp:137-189). Note GFA '+'
     orientation maps to from_start=False / to_end=False."""
+    from ..io import native
+
+    with open(path, "rb") as f:
+        data = f.read()
+    parsed = native.parse_gfa(data)
     s_lines: list[tuple[int, str]] = []
     l_lines: list[tuple[int, bool, int, bool]] = []
     overlap = 0
-    with open(path, "r") as f:
-        for raw in f:
-            line = raw.rstrip("\r\n")
+    if parsed is not None:
+        s_lines = parsed[0]
+        for from_id, from_minus, to_id, to_minus, this_overlap in parsed[1]:
+            if overlap not in (0, this_overlap):
+                raise ValueError(
+                    f"non-uniform GFA overlap {this_overlap} vs {overlap}"
+                )
+            overlap = this_overlap
+            l_lines.append((from_id, from_minus, to_id, to_minus))
+    else:
+        for raw in data.decode().split("\n"):
+            line = raw.rstrip("\r")
             if not line:
                 continue
             if line[0] == "S":

@@ -65,9 +65,20 @@ def _load_fasta(path: str) -> list[FastQ]:
 
 
 def load_fastq(path: str) -> list[FastQ]:
-    """Load reads, format keyed by extension; unknown extensions → []."""
+    """Load reads, format keyed by extension; unknown extensions → [].
+
+    Uses the native parser (io.native) when available."""
     if path.endswith(".fastq") or path.endswith(".fq"):
-        return _load_fastq(path)
-    if path.endswith(".fasta") or path.endswith(".fa"):
-        return _load_fasta(path)
-    return []
+        is_fasta = False
+    elif path.endswith(".fasta") or path.endswith(".fa"):
+        is_fasta = True
+    else:
+        return []
+    from . import native
+
+    with open(path, "rb") as f:
+        data = f.read()
+    parsed = native.parse_reads(data, is_fasta)
+    if parsed is not None:
+        return [FastQ(seq_id=n, sequence=s, quality=q) for n, s, q in parsed]
+    return _load_fasta(path) if is_fasta else _load_fastq(path)

@@ -1,0 +1,198 @@
+"""ctypes bindings to the native I/O fast paths (native/ga_native.cpp).
+
+Auto-builds the shared library on first use (g++ is part of the
+deployment image); every entry point has a pure-Python fallback in
+stream.py / fastq.py / bigraph.py, so the library is an accelerator,
+never a requirement.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libga_native.so")
+_lib = None
+_tried = False
+
+
+def get_lib():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-s", "-C", _NATIVE_DIR],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.ga_gunzip.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.ga_gunzip.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)
+    ]
+    lib.ga_gzip.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.ga_gzip.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.ga_free.argtypes = [ctypes.c_void_p]
+    lib.ga_count_messages.restype = ctypes.c_int64
+    lib.ga_count_messages.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.ga_frame_messages.restype = ctypes.c_int64
+    lib.ga_frame_messages.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_int64,
+    ]
+    lib.ga_parse_reads.restype = ctypes.c_void_p
+    lib.ga_parse_reads.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int]
+    for name in ("ga_reads_names", "ga_reads_seqs", "ga_reads_quals"):
+        getattr(lib, name).restype = ctypes.c_void_p
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    for name in ("ga_reads_name_off", "ga_reads_seq_off", "ga_reads_qual_off"):
+        getattr(lib, name).restype = ctypes.POINTER(ctypes.c_int64)
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    lib.ga_reads_count.restype = ctypes.c_int64
+    lib.ga_reads_count.argtypes = [ctypes.c_void_p]
+    lib.ga_reads_destroy.argtypes = [ctypes.c_void_p]
+    lib.ga_parse_gfa.restype = ctypes.c_void_p
+    lib.ga_parse_gfa.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    for name in ("ga_gfa_num_s", "ga_gfa_num_l"):
+        getattr(lib, name).restype = ctypes.c_int64
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    for name in (
+        "ga_gfa_s_ids", "ga_gfa_l_from", "ga_gfa_l_to", "ga_gfa_l_overlap",
+        "ga_gfa_s_off",
+    ):
+        getattr(lib, name).restype = ctypes.POINTER(ctypes.c_int64)
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    lib.ga_gfa_s_seqs.restype = ctypes.c_void_p
+    lib.ga_gfa_s_seqs.argtypes = [ctypes.c_void_p]
+    for name in ("ga_gfa_l_from_minus", "ga_gfa_l_to_minus"):
+        getattr(lib, name).restype = ctypes.POINTER(ctypes.c_uint8)
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    lib.ga_gfa_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def gunzip(data: bytes) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    out_len = ctypes.c_int64()
+    ptr = lib.ga_gunzip(data, len(data), ctypes.byref(out_len))
+    if not ptr:
+        raise ValueError("truncated gzip stream")
+    try:
+        return ctypes.string_at(ptr, out_len.value)
+    finally:
+        lib.ga_free(ptr)
+
+
+def gzip_bytes(data: bytes, level: int = 6) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    out_len = ctypes.c_int64()
+    ptr = lib.ga_gzip(data, len(data), level, ctypes.byref(out_len))
+    if not ptr:
+        return None
+    try:
+        return ctypes.string_at(ptr, out_len.value)
+    finally:
+        lib.ga_free(ptr)
+
+
+def frame_offsets(raw: bytes):
+    """(offsets, lengths) int64 arrays of message payloads in framed data,
+    or None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = lib.ga_count_messages(raw, len(raw))
+    if n < 0:
+        raise ValueError("malformed vg stream framing")
+    offsets = np.empty(n, dtype=np.int64)
+    lengths = np.empty(n, dtype=np.int64)
+    got = lib.ga_frame_messages(raw, len(raw), offsets, lengths, n)
+    if got != n:
+        raise ValueError("malformed vg stream framing")
+    return offsets, lengths
+
+
+def parse_reads(data: bytes, is_fasta: bool):
+    """[(name, seq, qual)] parsed natively, or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = lib.ga_parse_reads(data, len(data), 1 if is_fasta else 0)
+    try:
+        n = lib.ga_reads_count(h)
+        name_off = np.ctypeslib.as_array(lib.ga_reads_name_off(h), shape=(n + 1,))
+        seq_off = np.ctypeslib.as_array(lib.ga_reads_seq_off(h), shape=(n + 1,))
+        qual_off = np.ctypeslib.as_array(lib.ga_reads_qual_off(h), shape=(n + 1,))
+        names = ctypes.string_at(lib.ga_reads_names(h), int(name_off[-1]))
+        seqs = ctypes.string_at(lib.ga_reads_seqs(h), int(seq_off[-1]))
+        quals = ctypes.string_at(lib.ga_reads_quals(h), int(qual_off[-1]))
+        out = []
+        for i in range(n):
+            out.append(
+                (
+                    names[name_off[i] : name_off[i + 1]].decode(),
+                    seqs[seq_off[i] : seq_off[i + 1]].decode(),
+                    quals[qual_off[i] : qual_off[i + 1]].decode(),
+                )
+            )
+        return out
+    finally:
+        lib.ga_reads_destroy(h)
+
+
+def parse_gfa(data: bytes):
+    """(s_records, l_records) parsed natively, or None.
+    s_records: [(id, seq)]; l_records: [(from, from_minus, to, to_minus, overlap)]."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = lib.ga_parse_gfa(data, len(data))
+    try:
+        ns = lib.ga_gfa_num_s(h)
+        nl = lib.ga_gfa_num_l(h)
+        s_ids = np.ctypeslib.as_array(lib.ga_gfa_s_ids(h), shape=(ns,)).copy() if ns else np.zeros(0, np.int64)
+        s_off = np.ctypeslib.as_array(lib.ga_gfa_s_off(h), shape=(ns + 1,))
+        seqs = ctypes.string_at(lib.ga_gfa_s_seqs(h), int(s_off[-1])) if ns else b""
+        s_records = [
+            (int(s_ids[i]), seqs[s_off[i] : s_off[i + 1]].decode()) for i in range(ns)
+        ]
+        if nl:
+            l_from = np.ctypeslib.as_array(lib.ga_gfa_l_from(h), shape=(nl,))
+            l_to = np.ctypeslib.as_array(lib.ga_gfa_l_to(h), shape=(nl,))
+            l_ov = np.ctypeslib.as_array(lib.ga_gfa_l_overlap(h), shape=(nl,))
+            l_fm = np.ctypeslib.as_array(lib.ga_gfa_l_from_minus(h), shape=(nl,))
+            l_tm = np.ctypeslib.as_array(lib.ga_gfa_l_to_minus(h), shape=(nl,))
+            l_records = [
+                (int(l_from[i]), bool(l_fm[i]), int(l_to[i]), bool(l_tm[i]), int(l_ov[i]))
+                for i in range(nl)
+            ]
+        else:
+            l_records = []
+        return s_records, l_records
+    finally:
+        lib.ga_gfa_destroy(h)

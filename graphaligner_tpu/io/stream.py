@@ -37,8 +37,24 @@ def _decompress_all(data: bytes) -> bytes:
 
 
 def iter_messages(data: bytes) -> Iterator[bytes]:
-    """Yield raw message payloads from framed (possibly gzipped) bytes."""
-    raw = _decompress_all(data)
+    """Yield raw message payloads from framed (possibly gzipped) bytes.
+
+    Uses the native codec (io.native) when available; pure-Python
+    otherwise."""
+    from . import native
+
+    if data[:2] == b"\x1f\x8b":
+        raw = native.gunzip(data)
+        if raw is None:
+            raw = _decompress_all(data)
+    else:
+        raw = data
+    frames = native.frame_offsets(raw)
+    if frames is not None:
+        offsets, lengths = frames
+        for off, ln in zip(offsets, lengths):
+            yield raw[off : off + ln]
+        return
     pos = 0
     n = len(raw)
     while pos < n:
@@ -73,11 +89,16 @@ def frame_messages(messages: Iterable, group_size: int = 1000) -> bytes:
 
 def write_messages(path: str, messages: Iterable, group_size: int = 1000) -> None:
     """Write messages as a gzip-compressed vg stream (GAM) file."""
+    from . import native
+
     framed = frame_messages(messages, group_size)
-    # mtime=0 for deterministic output (protobuf's GzipOutputStream also
-    # writes a zero mtime).
-    buf = io.BytesIO()
-    with gzip.GzipFile(fileobj=buf, mode="wb", compresslevel=6, mtime=0) as gz:
-        gz.write(framed)
+    compressed = native.gzip_bytes(framed, level=6)
+    if compressed is None:
+        # mtime=0 for deterministic output (protobuf's GzipOutputStream
+        # also writes a zero mtime).
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", compresslevel=6, mtime=0) as gz:
+            gz.write(framed)
+        compressed = buf.getvalue()
     with open(path, "wb") as f:
-        f.write(buf.getvalue())
+        f.write(compressed)

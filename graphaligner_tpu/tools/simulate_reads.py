@@ -3,7 +3,7 @@ SimulateReads.cpp): bidirected traversal from a random start with
 substitution / burst-insertion (<=20bp) / deletion errors; outputs truth
 GAM, FASTQ, and a single-seed GAM per read.
 
-Usage: graph.vg truth.gam reads.fastq numreads length sub ins seeds.gam del
+Usage: graph.vg truth.gam reads.fastq numreads length sub ins seeds.gam del [seed]
 """
 
 from __future__ import annotations
@@ -95,7 +95,7 @@ def main(argv=None) -> int:
     graph = load_vg_graph(argv[0])
     num_reads, length = int(argv[3]), int(argv[4])
     sub, ins, dele = float(argv[5]), float(argv[6]), float(argv[8])
-    rng = random.Random()
+    rng = random.Random(int(argv[9]) if len(argv) > 9 else None)
     out_right, out_left = build_edges(graph)
     truths, seeds = [], []
     with open(argv[2], "w") as fq:

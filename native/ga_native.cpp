@@ -1,0 +1,321 @@
+// Native I/O fast paths for graphaligner_tpu.
+//
+// The reference's I/O layer is compiled C++ (stream.hpp's gzip+varint
+// codec over protobuf, fastqloader.cpp, GfaGraph.cpp); at pangenome
+// scale a Python loader would become the bottleneck, so the hot paths
+// live here: gzip (de)compression, vg-stream varint framing, FASTQ
+// parsing, and GFA tokenization. Python binds via ctypes
+// (graphaligner_tpu/io/native.py) and falls back to the pure-Python
+// implementations when this library is unavailable.
+//
+// Build: make -C native (g++ -O3 -shared -fPIC, links zlib).
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+#include <zlib.h>
+
+extern "C" {
+
+void ga_free(void* p) { free(p); }
+
+// ---------------------------------------------------------------------------
+// gzip
+// ---------------------------------------------------------------------------
+
+// Decompress possibly-concatenated gzip members. Returns malloc'd buffer,
+// sets *out_len; returns nullptr on error (including truncated streams).
+uint8_t* ga_gunzip(const uint8_t* data, int64_t len, int64_t* out_len) {
+  size_t cap = (size_t)len * 4 + 4096;
+  uint8_t* out = (uint8_t*)malloc(cap);
+  if (!out) return nullptr;
+  size_t total = 0;
+
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, 15 + 32) != Z_OK) {  // gzip or zlib
+    free(out);
+    return nullptr;
+  }
+  zs.next_in = const_cast<Bytef*>(data);
+  zs.avail_in = (uInt)len;
+  for (;;) {
+    if (total + 65536 > cap) {
+      cap = cap * 2;
+      uint8_t* n = (uint8_t*)realloc(out, cap);
+      if (!n) { free(out); inflateEnd(&zs); return nullptr; }
+      out = n;
+    }
+    zs.next_out = out + total;
+    zs.avail_out = (uInt)(cap - total);
+    int rc = inflate(&zs, Z_NO_FLUSH);
+    total = cap - zs.avail_out - 0;
+    total = zs.total_out;
+    if (rc == Z_STREAM_END) {
+      if (zs.avail_in == 0) break;
+      // concatenated member: restart
+      if (inflateReset2(&zs, 15 + 32) != Z_OK) { free(out); inflateEnd(&zs); return nullptr; }
+      continue;
+    }
+    if (rc == Z_OK || rc == Z_BUF_ERROR) {
+      if (zs.avail_in == 0 && rc != Z_STREAM_END) {
+        // truncated stream
+        free(out);
+        inflateEnd(&zs);
+        return nullptr;
+      }
+      continue;
+    }
+    free(out);
+    inflateEnd(&zs);
+    return nullptr;
+  }
+  inflateEnd(&zs);
+  *out_len = (int64_t)total;
+  return out;
+}
+
+// Compress with a deterministic gzip header (mtime=0). Returns malloc'd
+// buffer, sets *out_len.
+uint8_t* ga_gzip(const uint8_t* data, int64_t len, int level, int64_t* out_len) {
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (deflateInit2(&zs, level, Z_DEFLATED, 15 + 16, 8, Z_DEFAULT_STRATEGY) != Z_OK)
+    return nullptr;
+  gz_header head;
+  memset(&head, 0, sizeof(head));
+  head.os = 255;
+  deflateSetHeader(&zs, &head);
+  size_t cap = deflateBound(&zs, (uLong)len) + 32;
+  uint8_t* out = (uint8_t*)malloc(cap);
+  if (!out) { deflateEnd(&zs); return nullptr; }
+  zs.next_in = const_cast<Bytef*>(data);
+  zs.avail_in = (uInt)len;
+  zs.next_out = out;
+  zs.avail_out = (uInt)cap;
+  int rc = deflate(&zs, Z_FINISH);
+  if (rc != Z_STREAM_END) { free(out); deflateEnd(&zs); return nullptr; }
+  *out_len = (int64_t)zs.total_out;
+  deflateEnd(&zs);
+  return out;
+}
+
+// ---------------------------------------------------------------------------
+// vg stream framing: [varint64 count, count x (varint32 size, bytes)]*
+// ---------------------------------------------------------------------------
+
+static inline bool read_varint(const uint8_t* d, int64_t len, int64_t* pos,
+                               uint64_t* value) {
+  uint64_t result = 0;
+  int shift = 0;
+  while (*pos < len) {
+    uint8_t b = d[*pos];
+    (*pos)++;
+    result |= (uint64_t)(b & 0x7F) << shift;
+    if (!(b & 0x80)) {
+      *value = result;
+      return true;
+    }
+    shift += 7;
+    if (shift >= 70) return false;
+  }
+  return false;
+}
+
+// Pass 1: count messages in framed (uncompressed) data. Returns -1 on error.
+int64_t ga_count_messages(const uint8_t* raw, int64_t len) {
+  int64_t pos = 0;
+  int64_t n = 0;
+  while (pos < len) {
+    uint64_t count;
+    if (!read_varint(raw, len, &pos, &count)) return -1;
+    for (uint64_t i = 0; i < count; i++) {
+      uint64_t size;
+      if (!read_varint(raw, len, &pos, &size)) return -1;
+      pos += (int64_t)size;
+      if (pos > len) return -1;
+      n++;
+    }
+  }
+  return n;
+}
+
+// Pass 2: fill message offsets/lengths. Returns count or -1.
+int64_t ga_frame_messages(const uint8_t* raw, int64_t len, int64_t* offsets,
+                          int64_t* lengths, int64_t max_msgs) {
+  int64_t pos = 0;
+  int64_t n = 0;
+  while (pos < len) {
+    uint64_t count;
+    if (!read_varint(raw, len, &pos, &count)) return -1;
+    for (uint64_t i = 0; i < count; i++) {
+      uint64_t size;
+      if (!read_varint(raw, len, &pos, &size)) return -1;
+      if (n >= max_msgs) return -1;
+      offsets[n] = pos;
+      lengths[n] = (int64_t)size;
+      pos += (int64_t)size;
+      if (pos > len) return -1;
+      n++;
+    }
+  }
+  return n;
+}
+
+// ---------------------------------------------------------------------------
+// FASTQ/FASTA parsing → (names blob, name offsets, seq blob, seq offsets,
+// qual blob) with lengths; the Python side slices strings out.
+// ---------------------------------------------------------------------------
+
+struct GaReads {
+  std::string names;
+  std::string seqs;
+  std::string quals;
+  std::vector<int64_t> name_off;  // n+1 offsets
+  std::vector<int64_t> seq_off;
+  std::vector<int64_t> qual_off;
+};
+
+static void rstrip_cr(const char** e, const char* b) {
+  while (*e > b && ((*e)[-1] == '\r')) (*e)--;
+}
+
+// Parse FASTQ (is_fasta=0) or FASTA (is_fasta=1); returns opaque handle.
+void* ga_parse_reads(const uint8_t* data, int64_t len, int is_fasta) {
+  GaReads* r = new GaReads();
+  r->name_off.push_back(0);
+  r->seq_off.push_back(0);
+  r->qual_off.push_back(0);
+  const char* p = (const char*)data;
+  const char* end = p + len;
+  auto next_line = [&](const char** b, const char** e) {
+    if (p >= end) return false;
+    *b = p;
+    const char* nl = (const char*)memchr(p, '\n', end - p);
+    if (!nl) { *e = end; p = end; } else { *e = nl; p = nl + 1; }
+    rstrip_cr(e, *b);
+    return true;
+  };
+  const char *b, *e;
+  if (!is_fasta) {
+    while (next_line(&b, &e)) {
+      if (b == e || *b != '@') continue;
+      r->names.append(b + 1, e);
+      r->name_off.push_back((int64_t)r->names.size());
+      if (!next_line(&b, &e)) { b = e = end; }
+      r->seqs.append(b, e);
+      r->seq_off.push_back((int64_t)r->seqs.size());
+      next_line(&b, &e);  // '+'
+      if (!next_line(&b, &e)) { b = e = end; }
+      r->quals.append(b, e);
+      r->qual_off.push_back((int64_t)r->quals.size());
+    }
+  } else {
+    bool have = false;
+    while (next_line(&b, &e)) {
+      if (b < e && *b == '>') {
+        if (have) {
+          r->seq_off.push_back((int64_t)r->seqs.size());
+          int64_t n = r->seq_off.back() - r->seq_off[r->seq_off.size() - 2];
+          r->quals.append((size_t)n, '!');
+          r->qual_off.push_back((int64_t)r->quals.size());
+        }
+        r->names.append(b + 1, e);
+        r->name_off.push_back((int64_t)r->names.size());
+        have = true;
+      } else if (have) {
+        r->seqs.append(b, e);
+      }
+    }
+    if (have) {
+      r->seq_off.push_back((int64_t)r->seqs.size());
+      int64_t n = r->seq_off.back() - r->seq_off[r->seq_off.size() - 2];
+      r->quals.append((size_t)n, '!');
+      r->qual_off.push_back((int64_t)r->quals.size());
+    }
+  }
+  return r;
+}
+
+int64_t ga_reads_count(void* h) { return (int64_t)((GaReads*)h)->name_off.size() - 1; }
+const char* ga_reads_names(void* h) { return ((GaReads*)h)->names.data(); }
+const char* ga_reads_seqs(void* h) { return ((GaReads*)h)->seqs.data(); }
+const char* ga_reads_quals(void* h) { return ((GaReads*)h)->quals.data(); }
+const int64_t* ga_reads_name_off(void* h) { return ((GaReads*)h)->name_off.data(); }
+const int64_t* ga_reads_seq_off(void* h) { return ((GaReads*)h)->seq_off.data(); }
+const int64_t* ga_reads_qual_off(void* h) { return ((GaReads*)h)->qual_off.data(); }
+void ga_reads_destroy(void* h) { delete (GaReads*)h; }
+
+// ---------------------------------------------------------------------------
+// GFA tokenization → S records (ids + concatenated seqs) and L records
+// (from, from_dir, to, to_dir, overlap).
+// ---------------------------------------------------------------------------
+
+struct GaGfa {
+  std::vector<int64_t> s_ids;
+  std::string s_seqs;
+  std::vector<int64_t> s_off;  // n+1
+  std::vector<int64_t> l_from, l_to, l_overlap;
+  std::vector<uint8_t> l_from_minus, l_to_minus;
+};
+
+void* ga_parse_gfa(const uint8_t* data, int64_t len) {
+  GaGfa* g = new GaGfa();
+  g->s_off.push_back(0);
+  const char* p = (const char*)data;
+  const char* end = p + len;
+  while (p < end) {
+    const char* nl = (const char*)memchr(p, '\n', end - p);
+    const char* le = nl ? nl : end;
+    const char* lb = p;
+    p = nl ? nl + 1 : end;
+    rstrip_cr(&le, lb);
+    if (lb >= le) continue;
+    if (*lb == 'S') {
+      // S\tid\tseq
+      const char* t1 = (const char*)memchr(lb, '\t', le - lb);
+      if (!t1) continue;
+      const char* t2 = (const char*)memchr(t1 + 1, '\t', le - t1 - 1);
+      if (!t2) continue;
+      const char* t3 = (const char*)memchr(t2 + 1, '\t', le - t2 - 1);
+      const char* seq_end = t3 ? t3 : le;
+      g->s_ids.push_back(strtoll(t1 + 1, nullptr, 10));
+      g->s_seqs.append(t2 + 1, seq_end);
+      g->s_off.push_back((int64_t)g->s_seqs.size());
+    } else if (*lb == 'L') {
+      // L\tfrom\tdir\tto\tdir\toverlapM
+      const char* f[6];
+      int nf = 0;
+      const char* q = lb;
+      while (nf < 6 && q < le) {
+        const char* t = (const char*)memchr(q, '\t', le - q);
+        if (!t) break;
+        f[nf++] = t + 1;
+        q = t + 1;
+      }
+      if (nf < 5) continue;
+      g->l_from.push_back(strtoll(f[0], nullptr, 10));
+      g->l_from_minus.push_back(f[1][0] == '-');
+      g->l_to.push_back(strtoll(f[2], nullptr, 10));
+      g->l_to_minus.push_back(f[3][0] == '-');
+      g->l_overlap.push_back(nf >= 5 ? strtoll(f[4], nullptr, 10) : 0);
+    }
+  }
+  return g;
+}
+
+int64_t ga_gfa_num_s(void* h) { return (int64_t)((GaGfa*)h)->s_ids.size(); }
+int64_t ga_gfa_num_l(void* h) { return (int64_t)((GaGfa*)h)->l_from.size(); }
+const int64_t* ga_gfa_s_ids(void* h) { return ((GaGfa*)h)->s_ids.data(); }
+const char* ga_gfa_s_seqs(void* h) { return ((GaGfa*)h)->s_seqs.data(); }
+const int64_t* ga_gfa_s_off(void* h) { return ((GaGfa*)h)->s_off.data(); }
+const int64_t* ga_gfa_l_from(void* h) { return ((GaGfa*)h)->l_from.data(); }
+const int64_t* ga_gfa_l_to(void* h) { return ((GaGfa*)h)->l_to.data(); }
+const int64_t* ga_gfa_l_overlap(void* h) { return ((GaGfa*)h)->l_overlap.data(); }
+const uint8_t* ga_gfa_l_from_minus(void* h) { return ((GaGfa*)h)->l_from_minus.data(); }
+const uint8_t* ga_gfa_l_to_minus(void* h) { return ((GaGfa*)h)->l_to_minus.data(); }
+void ga_gfa_destroy(void* h) { delete (GaGfa*)h; }
+
+}  // extern "C"

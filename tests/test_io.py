@@ -182,3 +182,45 @@ def test_gfa_subgraph(tmp_path):
     assert set(sub.nodes) == {1, 2}
     assert sub.edges[(1, True)] == [(2, True)]
     assert (2, True) not in sub.edges or all(t[0] != 3 for t in sub.edges[(2, True)])
+
+
+def test_native_codec_matches_python(smallexample_dir, tmp_path):
+    """Native gzip/framing/FASTQ/GFA fast paths must agree with the
+    pure-Python implementations."""
+    from graphaligner_tpu.io import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    data = (smallexample_dir / "sub_test.vg").read_bytes()
+    raw = native.gunzip(data)
+    assert raw == stream._decompress_all(data)
+    frames = native.frame_offsets(raw)
+    assert frames is not None
+    offsets, lengths = frames
+    py_msgs = []
+    pos = 0
+    while pos < len(raw):
+        count, pos = wire.decode_varint(raw, pos)
+        for _ in range(count):
+            size, pos = wire.decode_varint(raw, pos)
+            py_msgs.append(raw[pos : pos + size])
+            pos += size
+    assert [raw[o : o + l] for o, l in zip(offsets, lengths)] == py_msgs
+    # gzip round trip + truncation detection
+    comp = native.gzip_bytes(raw)
+    assert native.gunzip(comp) == raw
+    with pytest.raises(ValueError):
+        native.gunzip(comp[:20])
+    # FASTQ: native vs python line parser
+    p = tmp_path / "x.fastq"
+    p.write_text("@r1\nACGT\n+\n!!!!\n@r2\nGG\n+\n!!\n")
+    parsed = native.parse_reads(p.read_bytes(), False)
+    assert parsed == [("r1", "ACGT", "!!!!"), ("r2", "GG", "!!")]
+    fa = tmp_path / "x.fasta"
+    fa.write_text(">r1\nAC\nGT\n>r2\nTT\n")
+    parsed = native.parse_reads(fa.read_bytes(), True)
+    assert parsed == [("r1", "ACGT", "!!!!"), ("r2", "TT", "!!")]
+    # GFA tokenizer
+    s, l = native.parse_gfa(b"S\t3\tACGT\nL\t3\t+\t4\t-\t5M\nS\t4\tTT\n")
+    assert s == [(3, "ACGT"), (4, "TT")]
+    assert l == [(3, False, 4, True, 5)]

@@ -144,7 +144,7 @@ def test_simulate_reads_and_compare_pipeline(tmp_path):
     seeds = tmp_path / "seeds.gam"
     simulate_reads.main(
         [str(SIM / "bubbles.vg"), str(truth), str(reads), "3", "300",
-         "0.02", "0.02", str(seeds), "0.02"]
+         "0.02", "0.02", str(seeds), "0.02", "7"]
     )
     fastqs = load_fastq(str(reads))
     assert len(fastqs) == 3
@@ -170,18 +170,20 @@ def test_simulate_reads_and_compare_pipeline(tmp_path):
             out.append(res.alignment)
     pred = tmp_path / "pred.gam"
     stream.write_messages(str(pred), out)
+    sizes = compare_alignments.node_sizes(
+        compare_alignments.load_vg_graph(str(SIM / "bubbles.vg"))
+    )
+    # SimulateReads emits forward-orientation seeds only (reference
+    # SimulateReads.cpp:112-118), so reverse-strand truths legitimately
+    # misalign in this pipeline; require the forward ones to be good.
     ident = [
         compare_alignments.identity_percent(
-            compare_alignments.alignment_identity(
-                t, p, compare_alignments.node_sizes(
-                    compare_alignments.load_vg_graph(str(SIM / "bubbles.vg"))
-                )
-            )
+            compare_alignments.alignment_identity(t, p, sizes)
         )
         for t, p in zip(truths, out)
-        if t.name == p.name
+        if t.name == p.name and not t.path.mapping[0].position.is_reverse
     ]
-    assert ident and sum(i >= 0.7 for i in ident) >= len(ident) - 1
+    assert ident and all(i >= 0.7 for i in ident)
 
 
 def test_extract_path_subgraph_neighbourhood(tmp_path):
