@@ -465,9 +465,3 @@ def align_batch_full_band(graph: AlignmentGraph, reads: list, batch_aligner=None
         results.append(result)
     return results
 
-
-def jax_slice_backend(*args, **kwargs):
-    raise NotImplementedError(
-        "per-slice banded device backend lands with the banded engine; "
-        "use align_batch_full_band for the batched exhaustive mode"
-    )

@@ -1,0 +1,60 @@
+"""Multi-host orchestration: jax.distributed bring-up, per-host read
+sharding, and GAM shard merging.
+
+Mirrors the reference's single-machine structure at pod scale: the graph
+index is replicated per host (component sharding is the pangenome-scale
+follow-up), the read set is split across hosts (DCN) and across each
+host's devices (ICI, parallel.mesh), each read's alignment stays on one
+chip, and results are written as per-host GAM shards then concatenated —
+the pod-scale analogue of the reference's per-thread result vectors +
+final concat (Aligner.cpp:276-314).
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..io import stream, vg
+
+
+def initialize(coordinator_address: str | None = None, num_processes: int | None = None,
+               process_id: int | None = None) -> tuple:
+    """Bring up jax.distributed (no-op for single-process runs).
+
+    Returns (process_index, process_count)."""
+    import jax
+
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index(), jax.process_count()
+
+
+def shard_reads_for_host(reads: list, process_index: int, process_count: int) -> list:
+    """Strided split of the read set across hosts — deterministic, no
+    coordination needed (every host computes its own shard)."""
+    return reads[process_index::process_count]
+
+
+def shard_path(alignment_file: str, process_index: int) -> str:
+    root, ext = os.path.splitext(alignment_file)
+    return f"{root}.shard{process_index}{ext}"
+
+
+def write_host_shard(alignment_file: str, alignments: list, process_index: int) -> str:
+    path = shard_path(alignment_file, process_index)
+    stream.write_messages(path, alignments)
+    return path
+
+
+def merge_shards(alignment_file: str, process_count: int) -> int:
+    """Concatenate per-host GAM shards into the final file (run on host 0
+    after a barrier, or offline). Returns the alignment count."""
+    merged = []
+    for i in range(process_count):
+        merged.extend(stream.read_messages(shard_path(alignment_file, i), vg.Alignment))
+    stream.write_messages(alignment_file, merged)
+    return len(merged)

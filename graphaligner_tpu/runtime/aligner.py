@@ -60,8 +60,20 @@ def load_seed_hits(seed_file: str, read_names) -> dict:
     return {name: seeds.get(name, []) for name in read_names}
 
 
-def align_reads(params: AlignerParams, log=print, output_dir: str = ".", slice_backend=None) -> list:
-    """Align all reads; returns the list of output vg Alignments."""
+def align_reads(
+    params: AlignerParams,
+    log=print,
+    output_dir: str = ".",
+    slice_backend=None,
+    backend: str = "oracle",
+    device_batch: int = 256,
+) -> list:
+    """Align all reads; returns the list of output vg Alignments.
+
+    backend='jax' runs full-band (-i) alignment through the batched
+    device engine (exhaustive mode); seeded mode and cyclic graphs fall
+    back to the host oracle pipeline.
+    """
     fastqs = load_fastq(params.fastq_file)
     log(f"{len(fastqs)} reads")
     seed_hits = None
@@ -71,6 +83,16 @@ def align_reads(params: AlignerParams, log=print, output_dir: str = ".", slice_b
     graph = load_alignment_graph(params.graph_file)
     s = graph.stats
     log(f"{s.nodes} nodes\n{s.bp}bp\n{s.edges} edges\n{s.high_in_degree_nodes} nodes with in-degree >= 2")
+
+    if backend == "jax" and seed_hits is None:
+        try:
+            return _align_reads_batched(
+                params, graph, fastqs, log, output_dir, device_batch
+            )
+        except ValueError as e:
+            log(f"device engine unavailable ({e}); falling back to oracle")
+    elif backend == "jax":
+        log("seeded mode runs on the host pipeline (banded device engine pending)")
 
     backend_kwargs = {}
     if slice_backend is not None:
@@ -137,6 +159,41 @@ def align_reads(params: AlignerParams, log=print, output_dir: str = ".", slice_b
         graphs = stream.read_messages(params.graph_file, vg.Graph)
         aug = augment_graph_with_alignments(graphs, alignments)
         stream.write_messages(params.auggraph_file, [aug])
+    return alignments
+
+
+def _align_reads_batched(
+    params, graph, fastqs, log, output_dir: str, device_batch: int
+) -> list:
+    """Full-band alignment through the batched device engine, processed
+    in device-sized chunks; per-read outputs mirror the per-read path."""
+    from ..core.engine import BatchAligner, align_batch_full_band
+
+    ba = BatchAligner(graph)  # raises ValueError for cyclic graphs
+    alignments: list = []
+    order = list(reversed(fastqs))  # match the per-read path's order
+    for start in range(0, len(order), device_batch):
+        chunk = order[start : start + device_batch]
+        results = align_batch_full_band(graph, chunk, batch_aligner=ba)
+        for fastq, result in zip(chunk, results):
+            log(f"read {fastq.seq_id} size {len(fastq.sequence)}bp")
+            if result.alignment_failed or result.alignment.score == INT32_MAX:
+                log(f"read {fastq.seq_id} alignment failed")
+                continue
+            log(f"read {fastq.seq_id} score {result.alignment.score}")
+            replace_digraph_node_ids(result.alignment)
+            alignments.append(result.alignment)
+            name = _safe_filename(fastq.seq_id)
+            stream.write_messages(
+                os.path.join(output_dir, f"alignment_0_{name}.gam"),
+                [result.alignment],
+            )
+            write_trace(
+                result.trace, os.path.join(output_dir, f"trace_0_{name}.trace")
+            )
+    log(f"final result has {len(alignments)} alignments")
+    if params.alignment_file:
+        stream.write_messages(params.alignment_file, alignments)
     return alignments
 
 

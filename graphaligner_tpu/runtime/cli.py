@@ -66,12 +66,7 @@ def main(argv=None) -> int:
         dynamic_row_start=args.dynamic_row_start,
         initial_full_band=args.initial_full_band,
     )
-    slice_backend = None
-    if args.backend == "jax":
-        from ..core.engine import jax_slice_backend
-
-        slice_backend = jax_slice_backend
-    align_reads(params, slice_backend=slice_backend)
+    align_reads(params, backend=args.backend)
     return 0
 
 
