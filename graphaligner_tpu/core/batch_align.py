@@ -1,0 +1,681 @@
+"""Batched seeded alignment: device DP rounds + exact host control replay.
+
+The reference's getSqrtSlices control loop (GraphAligner.h:2571-2856)
+interleaves per-slice DP with data-dependent decisions: the correctness
+HMM (double-precision), bandwidth ramping rewinds, and early stopping.
+On TPU those per-read branches would serialize the batch, so this module
+splits the loop:
+
+  device: compute slices for ALL lanes straight through (engine_banded),
+          no branches — each round is one `banded_scan` call that records
+          per-slice (min_score, num_cells, band, packed columns).
+  host:   replay getSqrtSlices' control flow *exactly* (float64 HMM,
+          literal rewind/swap quirks) against the recorded minima. When
+          the replay takes a rewind, the affected lanes are gathered
+          into the next device round, restarted from the recorded
+          pre-ramp slice state with the ramped bandwidth schedule.
+
+Rounds repeat until every lane finishes (typically 1-2; each round only
+re-runs lanes that actually rewound — the batched analog of the
+reference's rampSlice redo, GraphAligner.h:2648-2719). Lanes whose band
+overflows the engine's static capacities (or that keep rewinding) fall
+back to the host oracle path — the analog of the reference's
+alternate-method switch for giant bands (GraphAligner.h:2483).
+
+The replay consumes only tiny per-slice scalars; the packed DP columns
+stay in per-round arrays and are expanded to SliceScores lazily, only
+for slices the surviving table actually needs. Band node *order* (which
+the reference's per-slice Tarjan tie-breaking inherits from the
+projection insertion order, GraphAligner.h:2359-2366) is reproduced on
+the host by re-walking projectForwardFromMinScore over the recorded
+per-node minima — and doubles as a device/host differential check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..graph.alignment_graph import AlignmentGraph
+from .align import DPTable, _pad_to_word
+from .band import project_forward_from_min_score
+from .engine import _READ_CODE, encode_read
+from .engine_banded import (
+    EMPTY,
+    INF,
+    BandedGraphTables,
+    banded_scan,
+    build_graph_tables,
+    make_seed_carry,
+)
+from .hmm import CorrectnessState
+from .oracle import SliceScores, _banded_tarjan, make_initial_slice_one_node
+from .params import BACKTRACE_OVERRIDE_CUTOFF, WORD_SIZE
+from ..ops.packing import unpack_deltas_np
+
+
+@dataclass
+class _Round:
+    """One banded_scan invocation's host-side record."""
+
+    lanes: list  # problem index per batch lane
+    start_slice: np.ndarray  # [B]
+    num_steps: np.ndarray  # [B]
+    band_ids: np.ndarray  # [S, B, Nm]
+    node_min: np.ndarray  # [S, B, Nm]
+    min_score: np.ndarray  # [S, B]
+    num_cells: np.ndarray  # [S, B]
+    overflow: np.ndarray  # [S, B]
+    cols: np.ndarray  # [S, Cm, B, 7]
+
+
+@dataclass
+class _Rec:
+    """Reference to one computed slice of one lane."""
+
+    rnd: _Round
+    step: int
+    lane_in_round: int
+    slice_i: int
+    bandwidth: int
+
+    @property
+    def min_score(self) -> int:
+        return int(self.rnd.min_score[self.step, self.lane_in_round])
+
+    @property
+    def num_cells(self) -> int:
+        return int(self.rnd.num_cells[self.step, self.lane_in_round])
+
+    @property
+    def overflow(self) -> bool:
+        return bool(self.rnd.overflow[self.step, self.lane_in_round])
+
+    def band_ids(self) -> np.ndarray:
+        ids = self.rnd.band_ids[self.step, self.lane_in_round]
+        return ids[ids != EMPTY]
+
+    def node_min_map(self, tables) -> dict:
+        ids = self.rnd.band_ids[self.step, self.lane_in_round]
+        nm = self.rnd.node_min[self.step, self.lane_in_round]
+        return {int(i): int(m) for i, m in zip(ids, nm) if i != EMPTY}
+
+    def cols(self) -> np.ndarray:
+        return self.rnd.cols[self.step, :, self.lane_in_round]  # [Cm, 7]
+
+
+class _ProjShim:
+    """Minimal previous-slice view for project_forward_from_min_score."""
+
+    def __init__(self, nodes, node_min, node_ends, min_score):
+        self.nodes = nodes
+        self.node_min = node_min
+        self._ends = node_ends
+        self.min_score = min_score
+
+    def node_end_score(self, node):
+        return self._ends[node]
+
+
+def _cell_layout(tables: BandedGraphTables, ids: np.ndarray):
+    """Topo-order node list + exclusive cell offsets for a band."""
+    order = ids[np.argsort(tables.topo_rank[ids])]
+    lens = tables.node_len[order]
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    return order, lens, offs
+
+
+def _node_ends_from_cols(tables, ids, cols):
+    order, lens, offs = _cell_layout(tables, ids)
+    ends = cols[offs + lens - 1, 5]
+    return {int(n): int(e) for n, e in zip(order, ends)}
+
+
+@dataclass
+class _LaneState:
+    """Literal replay of getSqrtSlices' control variables for one lane
+    (GraphAligner.h:2571-2856)."""
+
+    num_slices: int
+    slice_i: int = 0
+    ramp_until: int = 0
+    ramp_redo_index: int = -1
+    last: object = "init"  # "init" | _Rec
+    ramp: object = "init"
+    correctness: CorrectnessState = field(default_factory=CorrectnessState)
+    accepted: list = field(default_factory=list)  # _Rec per table slice
+    bandwidths: list = field(default_factory=list)
+    corr_list: list = field(default_factory=list)
+    done: bool = False
+    failed: bool = False  # overflow/fallback
+
+    # chain cursor into the current round
+    chain: list = field(default_factory=list)  # [_Rec] sequential records
+    cursor: int = 0
+
+
+class BandedBatchAligner:
+    """Batched seeded/banded alignment over the device engine."""
+
+    def __init__(
+        self,
+        graph: AlignmentGraph,
+        initial_bandwidth: int,
+        ramp_bandwidth: int,
+        Nm: int = 32,
+        Cm: int = 448,
+        max_rounds: int = 6,
+    ):
+        self.graph = graph
+        self.tables = build_graph_tables(graph)
+        self.initial_bandwidth = int(initial_bandwidth)
+        self.ramp_bandwidth = int(ramp_bandwidth)
+        assert max(self.initial_bandwidth, self.ramp_bandwidth) + WORD_SIZE < 1023
+        self.Nm = Nm
+        self.Cm = Cm
+        self.max_rounds = max_rounds
+        self._dev_args = None
+
+    def _device_args(self):
+        # NOTE: plain numpy, not jax.device_put — mixing committed device
+        # arrays and host arrays for the same jit signature trips an XLA
+        # executable/buffer-count mismatch on the remote TPU platform.
+        # XLA caches the host->device transfer of these static tables.
+        if self._dev_args is None:
+            self._dev_args = self.tables.device_args()
+        return self._dev_args
+
+    # ------------------------------------------------------------ main entry
+    def get_tables(self, problems):
+        """problems: [(padded_sequence, start_node_index)] →
+        list of DPTable (reference getSqrtSlices result) or None where the
+        lane needs the host fallback path."""
+        n = len(problems)
+        if n == 0:
+            return []
+        S_max = max(1, max(len(seq) // WORD_SIZE for seq, _ in problems))
+        lanes = [
+            _LaneState(num_slices=len(seq) // WORD_SIZE) for seq, _ in problems
+        ]
+        codes = np.full((n, S_max * WORD_SIZE), _READ_CODE["N"], dtype=np.uint8)
+        seq_lens = np.zeros(n, dtype=np.int32)
+        for i, (seq, _) in enumerate(problems):
+            codes[i, : len(seq)] = encode_read(seq)
+            seq_lens[i] = len(seq)
+
+        # round 1: all lanes from the seed carry
+        requests = [
+            (i, 0, "init", 0) for i in range(n)
+        ]  # (problem, start_slice, carry_ref, ramp_until)
+        for round_no in range(self.max_rounds):
+            if not requests:
+                break
+            rnd = self._run_round(problems, codes, seq_lens, requests, S_max)
+            for pos, (i, start, _, _) in enumerate(requests):
+                lane = lanes[i]
+                lane.chain = [
+                    _Rec(rnd, t, pos, start + t, int(rnd._bw[t, pos]))
+                    for t in range(int(rnd.num_steps[pos]))
+                ]
+                lane.cursor = 0
+            requests = []
+            for i, lane in enumerate(lanes):
+                if lane.done or lane.failed:
+                    continue
+                req = self._replay(lane)
+                if req is not None:
+                    requests.append((i, req[0], req[1], req[2]))
+        for i, lane in enumerate(lanes):
+            if not lane.done:
+                lane.failed = True
+
+        out = []
+        for i, lane in enumerate(lanes):
+            if lane.failed:
+                out.append(None)
+                continue
+            try:
+                out.append(self._build_table(problems[i], lane))
+            except AssertionError:
+                out.append(None)  # host/device divergence → oracle fallback
+        return out
+
+    # ------------------------------------------------------------- device round
+    def _run_round(self, problems, codes, seq_lens, requests, S_max):
+        nreq = len(requests)
+        B = max(8, 1 << (nreq - 1).bit_length())
+        sel = np.zeros(B, dtype=np.int64)
+        start = np.zeros(B, dtype=np.int32)
+        steps = np.zeros(B, dtype=np.int32)
+        bw = np.full((S_max, B), self.initial_bandwidth, dtype=np.int32)
+        init_ids = np.full((B, self.Nm), EMPTY, dtype=np.int32)
+        init_send = np.full((B, self.Cm), INF, dtype=np.int32)
+        init_nmin = np.full((B, self.Nm), INF, dtype=np.int32)
+        init_nend = np.full((B, self.Nm), INF, dtype=np.int32)
+        init_min = np.zeros(B, dtype=np.int32)
+
+        seed_lanes = [
+            pos for pos, (_, _, carry, _) in enumerate(requests) if carry == "init"
+        ]
+        if seed_lanes:
+            starts = np.array(
+                [problems[requests[pos][0]][1] for pos in seed_lanes], dtype=np.int32
+            )
+            s_ids, s_send, s_nmin, s_nend, s_min = make_seed_carry(
+                self.tables, starts, self.Nm, self.Cm
+            )
+            for j, pos in enumerate(seed_lanes):
+                init_ids[pos] = s_ids[j]
+                init_send[pos] = s_send[j]
+                init_nmin[pos] = s_nmin[j]
+                init_nend[pos] = s_nend[j]
+                init_min[pos] = s_min[j]
+
+        for pos, (i, st, carry, ramp_until) in enumerate(requests):
+            sel[pos] = i
+            start[pos] = st
+            steps[pos] = max(0, (len(problems[i][0]) // WORD_SIZE) - st)
+            for k in range(S_max):
+                if st + k <= ramp_until:
+                    bw[k, pos] = self.ramp_bandwidth
+            if carry != "init":
+                rec: _Rec = carry
+                band = rec.rnd.band_ids[rec.step, rec.lane_in_round]
+                init_ids[pos] = band
+                cols = rec.cols()
+                init_send[pos] = cols[:, 5]
+                init_nmin[pos] = rec.rnd.node_min[rec.step, rec.lane_in_round]
+                init_min[pos] = rec.min_score
+                real = band[band != EMPTY]
+                nend = np.full(self.Nm, INF, dtype=np.int32)
+                if len(real):
+                    ends = _node_ends_from_cols(self.tables, real, cols)
+                    for slot, node in enumerate(band):
+                        if node != EMPTY:
+                            nend[slot] = ends[int(node)]
+                init_nend[pos] = nend
+
+        out = banded_scan(
+            *self._device_args(),
+            codes[sel],
+            seq_lens[sel],
+            steps,
+            start,
+            bw,
+            init_ids,
+            init_send,
+            init_nmin,
+            init_nend,
+            init_min,
+            S_max=S_max,
+            Nm=self.Nm,
+            Cm=self.Cm,
+        )
+        rnd = _Round(
+            lanes=[r[0] for r in requests],
+            start_slice=start,
+            num_steps=steps,
+            band_ids=np.asarray(out["band_ids"]),
+            node_min=np.asarray(out["node_min"]),
+            min_score=np.asarray(out["min_score"]),
+            num_cells=np.asarray(out["num_cells"]),
+            overflow=np.asarray(out["overflow"]),
+            cols=np.asarray(out["cols"]),
+        )
+        rnd._bw = bw
+        rnd._carry_from = [r[2] for r in requests]
+        return rnd
+
+    # ---------------------------------------------------------------- replay
+    def _replay(self, lane: _LaneState):
+        """Advance the literal getSqrtSlices control flow against the
+        lane's recorded chain. Returns None when the lane finished, or a
+        (start_slice, carry_ref, ramp_until) request for the next round."""
+        while lane.slice_i < lane.num_slices:
+            bandwidth = (
+                self.ramp_bandwidth
+                if lane.ramp_until >= lane.slice_i
+                else self.initial_bandwidth
+            )
+            # find the next chain record matching (slice_i, bandwidth)
+            rec = lane.chain[lane.cursor] if lane.cursor < len(lane.chain) else None
+            pred_ok = rec is not None and (
+                (lane.cursor > 0 and lane.chain[lane.cursor - 1] is lane.last)
+                or (lane.cursor == 0 and self._carry_matches(rec, lane.last))
+            )
+            if (
+                rec is None
+                or rec.slice_i != lane.slice_i
+                or rec.bandwidth != bandwidth
+                or not pred_ok
+            ):
+                return (lane.slice_i, lane.last, lane.ramp_until)
+            if rec.overflow:
+                lane.failed = True
+                return None
+            lane.cursor += 1
+
+            last_min = 0 if lane.last == "init" else lane.last.min_score
+            delta = rec.min_score - last_min
+            assert 0 <= delta <= WORD_SIZE, (delta, rec.slice_i)
+            correctness = lane.correctness.next_state(delta, WORD_SIZE)
+            rec_corr = correctness
+
+            last_cells = 0 if lane.last == "init" else lane.last.num_cells
+            if (
+                lane.ramp_until == lane.slice_i
+                and rec.num_cells >= BACKTRACE_OVERRIDE_CUTOFF
+            ):
+                lane.ramp_until += 1
+            if (
+                lane.ramp_until == lane.slice_i - 1
+                or (
+                    lane.ramp_until < lane.slice_i
+                    and correctness.currently_correct()
+                    and correctness.false_from_correct()
+                )
+            ) and last_cells < BACKTRACE_OVERRIDE_CUTOFF:
+                lane.ramp = lane.last
+                lane.ramp_redo_index = lane.slice_i - 1
+
+            if not correctness.correct_from_correct():
+                lane.correctness = correctness
+                break
+            if (
+                not correctness.currently_correct()
+                and lane.ramp_until < lane.slice_i
+                and self.ramp_bandwidth > self.initial_bandwidth
+            ):
+                # rewind (literal swap quirk, GraphAligner.h:2664-2666)
+                lane.ramp_until = lane.slice_i
+                lane.slice_i, lane.ramp_redo_index = (
+                    lane.ramp_redo_index,
+                    lane.slice_i,
+                )
+                lane.last, lane.ramp = lane.ramp, lane.last
+                del lane.bandwidths[lane.slice_i + 1 :]
+                del lane.corr_list[lane.slice_i + 1 :]
+                while (
+                    len(lane.accepted) > 0
+                    and lane.accepted[-1].slice_i > lane.slice_i
+                ):
+                    lane.accepted.pop()
+                # correctness must continue from the rewound-to slice
+                lane.correctness = (
+                    lane.corr_list[lane.slice_i]
+                    if 0 <= lane.slice_i < len(lane.corr_list)
+                    else CorrectnessState()
+                )
+                lane.slice_i += 1
+                continue
+
+            assert len(lane.bandwidths) == lane.slice_i
+            lane.bandwidths.append(bandwidth)
+            lane.corr_list.append(rec_corr)
+            lane.accepted.append(rec)
+            lane.correctness = correctness
+            lane.last = rec
+            lane.slice_i += 1
+        lane.done = True
+        return None
+
+    @staticmethod
+    def _carry_matches(rec: _Rec, last) -> bool:
+        """Is the round that produced `rec` seeded from `last`?"""
+        pos = rec.lane_in_round
+        if int(rec.rnd.start_slice[pos]) != rec.slice_i:
+            return False
+        if last == "init":
+            return rec.slice_i == 0 and rec.rnd._carry_from[pos] == "init"
+        return rec.rnd._carry_from[pos] is last
+
+    # ---------------------------------------------------------- reconstruction
+    def _build_table(self, problem, lane: _LaneState) -> DPTable:
+        seq, start_node = problem
+        table = DPTable(slices=[make_initial_slice_one_node(self.graph, start_node)])
+        table.bandwidth_per_slice = list(lane.bandwidths)
+        table.correctness = list(lane.corr_list)
+
+        # remove_wrongly_aligned_end replay (GraphAligner.h:2554-2569)
+        currently_correct = (
+            table.correctness[-1].currently_correct() if table.correctness else False
+        )
+        while not currently_correct:
+            if not table.correctness:
+                break
+            table.correctness.pop()
+            table.bandwidth_per_slice.pop()
+            if not table.correctness:
+                break
+            currently_correct = table.correctness[-1].false_from_correct()
+        keep = len(table.correctness)
+        if keep == 0:
+            table.slices = []
+            return table
+        accepted = lane.accepted[:keep]
+
+        # reproduce the reference band-insertion order chain for tie-breaking
+        orders = self._band_orders(start_node, accepted, lane.bandwidths[:keep])
+        for idx, rec in enumerate(accepted):
+            final = idx == len(accepted) - 1
+            table.slices.append(
+                self._reconstruct(rec, orders[idx], with_min_index=final)
+            )
+        return table
+
+    def _band_orders(self, start_node, accepted, bandwidths):
+        g = self.graph
+        prev = _ProjShim([start_node], {start_node: 0}, {start_node: 0}, 0)
+        orders = []
+        for rec, bwv in zip(accepted, bandwidths):
+            order = project_forward_from_min_score(g, prev, bwv)
+            dev = set(int(x) for x in rec.band_ids())
+            assert set(order) == dev, (
+                f"host/device band mismatch at slice {rec.slice_i}"
+            )
+            orders.append(order)
+            nm = rec.node_min_map(self.tables)
+            ends = _node_ends_from_cols(self.tables, rec.band_ids(), rec.cols())
+            prev = _ProjShim(order, nm, ends, rec.min_score)
+        return orders
+
+    def _reconstruct(
+        self, rec: _Rec, band_order, with_min_index: bool
+    ) -> SliceScores:
+        g = self.graph
+        ids = rec.band_ids()
+        order, lens, offs = _cell_layout(self.tables, ids)
+        cols = rec.cols()
+        sbs_d, sbs_e, rows_d, ee, node_min = {}, {}, {}, {}, {}
+        for n, L, off in zip(order, lens, offs):
+            seg = cols[off : off + L]
+            rows = unpack_deltas_np(
+                seg[:, 0].astype(np.uint32),
+                seg[:, 1].astype(np.uint32),
+                seg[:, 2].astype(np.uint32),
+                seg[:, 3].astype(np.uint32),
+                seg[:, 4],
+            ).T  # [64, L]
+            n = int(n)
+            rows_d[n] = rows
+            sbs_d[n] = seg[:, 4].astype(np.int64)
+            sbs_e[n] = seg[:, 6].astype(bool)
+            ee[n] = np.ones(L, dtype=bool)
+            node_min[n] = int(rows[WORD_SIZE - 1].min())
+        min_index = []
+        if with_min_index:
+            comps = _banded_tarjan(g, list(band_order), {n: True for n in band_order})
+            best = rec.min_score
+            for comp in reversed(comps):
+                for n in reversed(comp):
+                    if node_min[n] == best:
+                        startp = int(g.node_start[n])
+                        for k in range(int(g.node_len[n])):
+                            if rows_d[n][WORD_SIZE - 1, k] == best:
+                                min_index.append(startp + k)
+        s = SliceScores(
+            j=rec.slice_i * WORD_SIZE,
+            nodes=list(band_order),
+            sbs=sbs_d,
+            sbs_exists=sbs_e,
+            rows=rows_d,
+            end_exists=ee,
+            min_score=rec.min_score,
+            min_score_index=min_index,
+            node_min=node_min,
+            bandwidth=rec.bandwidth,
+            num_cells=rec.num_cells,
+            cells_processed=rec.num_cells * WORD_SIZE,
+        )
+        return s
+
+
+# =========================================================================
+# Batched seed-and-extend orchestration (reference AlignOneWay seeded,
+# GraphAligner.h:408-491): one seed per read per wave, so the sequential
+# "skip seeds inside already-aligned regions" rule (420-429) is preserved
+# exactly while all reads' DP extensions run batched on device.
+# =========================================================================
+
+
+def align_reads_seeded_batch(
+    graph: AlignmentGraph,
+    aligner: BandedBatchAligner,
+    reads,
+    seed_map: dict,
+    logger=None,
+):
+    """reads: [FastQ]; seed_map: seq_id -> [(node_id, pos, reverse)].
+    Returns {seq_id: AlignmentResult} identical to align_one_way_seeded."""
+    import time as _time
+
+    from .align import (
+        TwoDirectionalSplit,
+        _add_alignment_nodes,
+        get_piecewise_traces_from_split,
+        get_split_alignment,
+        get_trace_info,
+        merge_alignments,
+        trace_to_alignment,
+    )
+    from .result import AlignmentResult, empty_alignment
+
+    INT_MAX = 2**62
+
+    t0 = _time.time()
+    state = {}
+    for r in reads:
+        seeds = seed_map.get(r.seq_id, [])
+        state[r.seq_id] = {
+            "read": r,
+            "seeds": seeds,
+            "cursor": 0,
+            "tried": [],
+            "best": None,  # (estimated, trace, seed)
+        }
+
+    active = [s for s in state.values() if s["seeds"]]
+    while active:
+        wave = []  # (state, seed, fw_problem_idx|None, bw_problem_idx|None)
+        problems = []
+        for s in active:
+            seed = None
+            while s["cursor"] < len(s["seeds"]):
+                node_id, pos, reverse = s["seeds"][s["cursor"]]
+                s["cursor"] += 1
+                node_index = graph.node_lookup[node_id * 2]
+                if any(
+                    lo <= pos <= hi and n == node_index
+                    for (lo, hi, n) in s["tried"]
+                ):
+                    if logger:
+                        logger(f"seed {s['cursor'] - 1} already aligned")
+                    continue
+                seed = (node_id, pos, reverse)
+                break
+            if seed is None:
+                continue
+            node_id, pos, reverse = seed
+            if reverse:
+                fw_node = graph.node_lookup[node_id * 2 + 1]
+                bw_node = graph.node_lookup[node_id * 2]
+            else:
+                fw_node = graph.node_lookup[node_id * 2]
+                bw_node = graph.node_lookup[node_id * 2 + 1]
+            sequence = s["read"].sequence
+            fw_i = bw_i = None
+            if pos > 0:
+                from ..io.sequences import reverse_complement
+
+                bw_seq = _pad_to_word(
+                    reverse_complement(sequence[: pos + graph.dbg_overlap])
+                )
+                bw_i = len(problems)
+                problems.append((bw_seq, bw_node))
+            if pos < len(sequence) - 1:
+                fw_seq = _pad_to_word(sequence[pos:])
+                fw_i = len(problems)
+                problems.append((fw_seq, fw_node))
+            wave.append((s, seed, fw_i, bw_i))
+
+        if not wave:
+            break
+        tables = aligner.get_tables(problems)
+        for s, seed, fw_i, bw_i in wave:
+            node_id, pos, reverse = seed
+            sequence = s["read"].sequence
+            fb_needed = (fw_i is not None and tables[fw_i] is None) or (
+                bw_i is not None and tables[bw_i] is None
+            )
+            if fb_needed:
+                split = get_split_alignment(
+                    graph,
+                    sequence,
+                    node_id,
+                    reverse,
+                    pos,
+                    aligner.initial_bandwidth,
+                    aligner.ramp_bandwidth,
+                )
+            else:
+                split = TwoDirectionalSplit(sequence_split_index=pos)
+                if bw_i is not None:
+                    split.backward = tables[bw_i]
+                if fw_i is not None:
+                    split.forward = tables[fw_i]
+            trace = get_piecewise_traces_from_split(graph, split, sequence)
+            _add_alignment_nodes(graph, s["tried"], trace)
+            est = split.estimated_correctly_aligned()
+            if s["best"] is None or est > s["best"][0]:
+                s["best"] = (est, trace, seed)
+        active = [s for s in active if s["cursor"] < len(s["seeds"])]
+
+    # finalize (tail of align_one_way_seeded)
+    results = {}
+    for seq_id, s in state.items():
+        elapsed = int((_time.time() - t0) * 1000)
+        if s["best"] is None:
+            results[seq_id] = empty_alignment(elapsed, 0)
+            continue
+        est, trace, best_seed = s["best"]
+        sequence = s["read"].sequence
+        (fw_score, fw_trace), (bw_score, bw_trace) = trace
+        if fw_score >= INT_MAX and bw_score >= INT_MAX:
+            results[seq_id] = empty_alignment(elapsed, 0)
+            continue
+        trace_vector = get_trace_info(graph, sequence, bw_trace, fw_trace)
+        fwresult = trace_to_alignment(graph, seq_id, sequence, fw_score, fw_trace, 0)
+        bwresult = trace_to_alignment(graph, seq_id, sequence, bw_score, bw_trace, 0)
+        if fwresult.alignment_failed and bwresult.alignment_failed:
+            results[seq_id] = empty_alignment(elapsed, 0)
+            continue
+        result = merge_alignments(graph, bwresult, fwresult)
+        result.trace = trace_vector
+        last_aligned = bw_trace[0][1] if bw_trace else best_seed[1]
+        result.alignment.query_position = last_aligned
+        result.alignment_start = last_aligned
+        result.alignment_end = result.alignment_start + est
+        result.elapsed_milliseconds = elapsed
+        results[seq_id] = result
+    return results

@@ -110,11 +110,32 @@ def build_graph_tables(graph: AlignmentGraph) -> BandedGraphTables:
     )
 
 
-@functools.partial(
-    __import__("jax").jit,
-    static_argnames=("S_max", "Nm", "Cm", "I_proj", "P_fix"),
-)
-def banded_scan(
+# One jit instance per full signature (statics + batch size). Working
+# around a jax 0.9.0 bug: with multiple compiled entries in one jit's
+# cache, cache-hit executions of any entry compiled after the first fail
+# with "Execution supplied N buffers but compiled program expected M"
+# (triggered by this function's nested scan/while_loop structure).
+_JIT_CACHE: dict = {}
+
+
+def banded_scan(*args, S_max, Nm, Cm, I_proj=32, P_fix=16):
+    B = args[6].shape[0]
+    key = (S_max, Nm, Cm, I_proj, P_fix, B)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        import jax
+
+        fn = jax.jit(
+            functools.partial(
+                _banded_scan, S_max=S_max, Nm=Nm, Cm=Cm, I_proj=I_proj, P_fix=P_fix
+            )
+        )
+        _JIT_CACHE[key] = fn
+    # match table passed as an argument, not closed over (see note below)
+    return fn(*args, _MATCH_TABLE)
+
+
+def _banded_scan(
     # graph tables
     node_len,
     node_start,
@@ -134,6 +155,7 @@ def banded_scan(
     init_node_min,  # [B, Nm] int32
     init_node_end,  # [B, Nm] int32 (last cell last-row score)
     init_min,  # [B] int32
+    match_table,  # [R, 5] bool read-code x graph-code match table
     *,
     S_max: int,
     Nm: int,
@@ -149,9 +171,12 @@ def banded_scan(
     B = read_codes.shape[0]
     K_in = in_nbrs.shape[1]
     K_out = out_nbrs.shape[1]
-    match_table = jnp.asarray(_MATCH_TABLE)  # [R, 5] bool
-    iota_nm = jnp.arange(Nm)
-    iota_cm = jnp.arange(Cm)
+    # NOTE: all index vectors use lax.iota (traced ops), never captured
+    # numpy constants — non-scalar jaxpr constants become hidden executable
+    # parameters that the jax 0.9.0 dispatch fastpath miscounts on repeat
+    # executions ("supplied N buffers but compiled program expected M").
+    iota_nm = jax.lax.iota(jnp.int32, Nm)
+    iota_cm = jax.lax.iota(jnp.int32, Cm)
     ONES = jnp.uint32(0xFFFFFFFF)
 
     def gather_node(table, ids, fill):
@@ -319,11 +344,13 @@ def banded_scan(
         rc_base = jnp.clip(g_slice * WORD_SIZE, 0, read_codes.shape[1] - WORD_SIZE)
         rc = jnp.take_along_axis(
             read_codes.astype(jnp.int32),
-            rc_base[:, None] + jnp.arange(WORD_SIZE)[None, :],
+            rc_base[:, None] + jax.lax.iota(jnp.int32, WORD_SIZE)[None, :],
             axis=1,
         )  # [B, 64]
         mt = match_table[rc]  # [B, 64, 5]
-        w32 = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :, None]
+        w32 = (
+            jnp.uint32(1) << jax.lax.iota(jnp.uint32, 32)
+        )[None, :, None]
         eq_lo_all = jnp.sum(
             jnp.where(mt[:, :32], w32, jnp.uint32(0)), axis=1, dtype=jnp.uint32
         )  # [B, 5]
@@ -502,8 +529,9 @@ def banded_scan(
             return cols, buf, nmin  # cols [Cm, B, 7]
 
         inf_buf = jnp.broadcast_to(
-            jnp.asarray(
-                [-1, -1, 0, 0, int(INF), int(INF) + WORD_SIZE, 0], dtype=jnp.int32
+            jnp.stack(
+                [jnp.int32(v) for v in
+                 (-1, -1, 0, 0, int(INF), int(INF) + WORD_SIZE, 0)]
             ),
             (B, Nm, 7),
         )

@@ -28,11 +28,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 U32 = jnp.uint32
-_SIGN = jnp.uint32(0x80808080)
-_LSB = jnp.uint32(0x01010101)
-_MULT = jnp.uint32(0x01010101)
-_ONES = jnp.uint32(0xFFFFFFFF)
+# numpy scalars, NOT jnp: jnp scalars are device arrays, and closing over
+# device arrays turns them into hidden executable parameters that the
+# jax 0.9.0 dispatch fastpath miscounts on repeat executions.
+_SIGN = np.uint32(0x80808080)
+_LSB = np.uint32(0x01010101)
+_MULT = np.uint32(0x01010101)
+_ONES = np.uint32(0xFFFFFFFF)
 
 
 def popcount32(x):
