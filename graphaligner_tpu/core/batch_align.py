@@ -64,10 +64,12 @@ class _Round:
     num_steps: np.ndarray  # [B]
     band_ids: np.ndarray  # [S, B, Nm]
     node_min: np.ndarray  # [S, B, Nm]
+    node_end: np.ndarray  # [S, B, Nm]
     min_score: np.ndarray  # [S, B]
     num_cells: np.ndarray  # [S, B]
     overflow: np.ndarray  # [S, B]
-    cols: np.ndarray  # [S, Cm, B, 7]
+    cols_dev: object  # [S, Cm, B, 7] — stays in device HBM
+    sends_dev: object  # [S, B, Cm] — stays in device HBM
 
 
 @dataclass
@@ -101,8 +103,19 @@ class _Rec:
         nm = self.rnd.node_min[self.step, self.lane_in_round]
         return {int(i): int(m) for i, m in zip(ids, nm) if i != EMPTY}
 
+    def node_end_map(self) -> dict:
+        ids = self.rnd.band_ids[self.step, self.lane_in_round]
+        ne = self.rnd.node_end[self.step, self.lane_in_round]
+        return {int(i): int(e) for i, e in zip(ids, ne) if i != EMPTY}
+
     def cols(self) -> np.ndarray:
-        return self.rnd.cols[self.step, :, self.lane_in_round]  # [Cm, 7]
+        """Fetch this lane's packed slice columns from device [Cm, 7]
+        (fallback/reconstruction path only)."""
+        return np.asarray(self.rnd.cols_dev[self.step, :, self.lane_in_round])
+
+    def sends(self) -> np.ndarray:
+        """Fetch this lane's per-cell last-row scores from device [Cm]."""
+        return np.asarray(self.rnd.sends_dev[self.step, self.lane_in_round])
 
 
 class _ProjShim:
@@ -187,13 +200,11 @@ class BandedBatchAligner:
         return self._dev_args
 
     # ------------------------------------------------------------ main entry
-    def get_tables(self, problems):
-        """problems: [(padded_sequence, start_node_index)] →
-        list of DPTable (reference getSqrtSlices result) or None where the
-        lane needs the host fallback path."""
+    def _run(self, problems):
+        """Run all device rounds + control replay for
+        problems = [(padded_sequence, start_node_index)]; returns the
+        final per-problem _LaneState list."""
         n = len(problems)
-        if n == 0:
-            return []
         S_max = max(1, max(len(seq) // WORD_SIZE for seq, _ in problems))
         lanes = [
             _LaneState(num_slices=len(seq) // WORD_SIZE) for seq, _ in problems
@@ -203,6 +214,8 @@ class BandedBatchAligner:
         for i, (seq, _) in enumerate(problems):
             codes[i, : len(seq)] = encode_read(seq)
             seq_lens[i] = len(seq)
+        self._codes = codes
+        self._seq_lens = seq_lens
 
         # round 1: all lanes from the seed carry
         requests = [
@@ -229,7 +242,15 @@ class BandedBatchAligner:
         for i, lane in enumerate(lanes):
             if not lane.done:
                 lane.failed = True
+        return lanes
 
+    def get_tables(self, problems):
+        """problems: [(padded_sequence, start_node_index)] →
+        list of DPTable (reference getSqrtSlices result) or None where the
+        lane needs the host fallback path."""
+        if not problems:
+            return []
+        lanes = self._run(problems)
         out = []
         for i, lane in enumerate(lanes):
             if lane.failed:
@@ -240,6 +261,203 @@ class BandedBatchAligner:
             except AssertionError:
                 out.append(None)  # host/device divergence → oracle fallback
         return out
+
+    def get_traces(self, problems):
+        """problems → [(score, trace, table_slices) | None]: the
+        (min score, forward-order trace, surviving slice count) triple of
+        getTraceFromTable via the batched device walk, or None for lanes
+        needing the host fallback."""
+        if not problems:
+            return []
+        lanes = self._run(problems)
+        return self._walk_lanes(problems, lanes)
+
+    def _walk_lanes(self, problems, lanes):
+        from .backtrace_device import walk_batch
+
+        INT_MAX = 2**62
+        B = len(lanes)
+        results: list = [None] * B
+        # apply removeWronglyAlignedEnd + compute per-lane table length
+        keeps = np.zeros(B, dtype=np.int32)
+        starts_w = np.zeros(B, dtype=np.int32)
+        removed = []
+        for i, lane in enumerate(lanes):
+            if lane.failed:
+                removed.append(None)
+                continue
+            corr = list(lane.corr_list)
+            ok = corr[-1].currently_correct() if corr else False
+            while not ok:
+                if not corr:
+                    break
+                corr.pop()
+                if not corr:
+                    break
+                ok = corr[-1].false_from_correct()
+            removed.append(len(corr))
+            keeps[i] = len(corr)
+            if len(corr) == 0:
+                results[i] = (INT_MAX, [], 0)
+        walk_idx = [
+            i
+            for i, lane in enumerate(lanes)
+            if not lane.failed and keeps[i] > 0
+        ]
+        if not walk_idx:
+            return results
+        final_sends = self._gather_final_sends(lanes, keeps)
+        try:
+            starts = self._walk_starts(problems, lanes, keeps, walk_idx, final_sends)
+        except AssertionError:
+            # host/device band divergence: fall back lane-by-lane
+            for i in walk_idx:
+                lanes[i].failed = True
+            return results
+        for i, w0 in zip(walk_idx, starts):
+            starts_w[i] = w0
+
+        K_max = int(max(keeps[i] for i in walk_idx))
+        cols_tab, band_tab = self._consolidate(lanes, keeps, K_max)
+        T_max = K_max * 80 + WORD_SIZE
+        seed_nodes = np.array([p[1] for p in problems], dtype=np.int32)
+        trace_dev, fail_dev = walk_batch(
+            self.tables,
+            cols_tab,
+            band_tab,
+            self._codes,
+            self._seq_lens,
+            seed_nodes,
+            starts_w,
+            keeps,
+            T_max=T_max,
+        )
+        trace = np.asarray(trace_dev)  # [T_max+1, B, 2]
+        fail = np.asarray(fail_dev)
+        for i in walk_idx:
+            lane = lanes[i]
+            if fail[i]:
+                lane.failed = True
+                continue
+            tr = trace[:, i]
+            rows = tr[:, 1]
+            n = int(np.argmax(rows == -2)) if (rows == -2).any() else len(rows)
+            steps = [(int(w), int(r)) for w, r in tr[:n]]
+            if not steps or steps[-1][1] != -1:
+                lane.failed = True
+                continue
+            steps.pop()
+            if not steps or steps[-1][1] != 0:
+                lane.failed = True
+                continue
+            steps.reverse()
+            score = lane.accepted[int(keeps[i]) - 1].min_score
+            results[i] = (score, steps, int(keeps[i]))
+        return results
+
+    def _gather_final_sends(self, lanes, keeps):
+        """One batched device gather + fetch of every walk lane's final
+        slice per-cell last-row scores [B, Cm] (per-lane fetches cost
+        ~40ms each over the remote-TPU link)."""
+        import jax.numpy as jnp
+
+        B = len(lanes)
+        acc = None
+        rounds = []
+        for i, lane in enumerate(lanes):
+            if not lane.failed and keeps[i] > 0:
+                rec = lane.accepted[int(keeps[i]) - 1]
+                if rec.rnd not in rounds:
+                    rounds.append(rec.rnd)
+        for rnd in rounds:
+            steps = np.zeros(B, dtype=np.int32)
+            lane_pos = np.zeros(B, dtype=np.int32)
+            mask = np.zeros(B, dtype=bool)
+            for i, lane in enumerate(lanes):
+                if lane.failed or keeps[i] == 0:
+                    continue
+                rec = lane.accepted[int(keeps[i]) - 1]
+                if rec.rnd is rnd:
+                    steps[i] = rec.step
+                    lane_pos[i] = rec.lane_in_round
+                    mask[i] = True
+            src = rnd.sends_dev[jnp.asarray(steps), jnp.asarray(lane_pos)]  # [B, Cm]
+            m = jnp.asarray(mask)[:, None]
+            acc = jnp.where(m, src, 0) if acc is None else jnp.where(m, src, acc)
+        return np.asarray(acc)  # [B, Cm]
+
+    def _walk_starts(self, problems, lanes, keeps, walk_idx, final_sends):
+        """Backtrace start position per lane: min_score_index.back() of the
+        final surviving slice, with the reference's banded-Tarjan
+        collection order (GraphAligner.h:2359-2366)."""
+        g = self.graph
+        starts = []
+        for i in walk_idx:
+            lane = lanes[i]
+            keep = int(keeps[i])
+            accepted = lane.accepted[:keep]
+            orders = self._band_orders(problems[i][1], accepted, lane.bandwidths[:keep])
+            rec = accepted[-1]
+            order = orders[-1]
+            sends = final_sends[i]
+            o2, l2, f2 = _cell_layout(self.tables, rec.band_ids())
+            cell_of = {int(n): (int(f), int(L)) for n, f, L in zip(o2, f2, l2)}
+            best = rec.min_score
+            last = None
+            comps = _banded_tarjan(g, list(order), {n: True for n in order})
+            for comp in reversed(comps):
+                for n in reversed(comp):
+                    f, L = cell_of[n]
+                    seg = sends[f : f + L]
+                    if seg.min() == best:
+                        startp = int(g.node_start[n])
+                        for k in range(L):
+                            if seg[k] == best:
+                                last = startp + k
+            assert last is not None
+            starts.append(last)
+        return starts
+
+    def _consolidate(self, lanes, keeps, K_max):
+        """Build [K_max, B, Cm, 7] cols + [K_max, B, Nm] band tensors for
+        the walk, gathering per-lane table slices from each round's
+        device-resident outputs."""
+        import jax.numpy as jnp
+
+        B = len(lanes)
+        rounds = []
+        for lane in lanes:
+            for rec in lane.accepted:
+                if rec.rnd not in rounds:
+                    rounds.append(rec.rnd)
+        band_tab = np.full((K_max, B, self.Nm), int(EMPTY), dtype=np.int32)
+        cols_tab = None
+        for rnd in rounds:
+            steps = np.zeros((K_max, B), dtype=np.int32)
+            mask = np.zeros((K_max, B), dtype=bool)
+            for i, lane in enumerate(lanes):
+                if lane.failed:
+                    continue
+                for k, rec in enumerate(lane.accepted[: int(keeps[i])]):
+                    if rec.rnd is rnd:
+                        steps[k, i] = rec.step
+                        mask[k, i] = True
+                        band_tab[k, i] = rnd.band_ids[rec.step, rec.lane_in_round]
+            # map batch lanes: lane i occupies rec.lane_in_round in rnd
+            lane_pos = np.zeros(B, dtype=np.int32)
+            for i, lane in enumerate(lanes):
+                for rec in lane.accepted:
+                    if rec.rnd is rnd:
+                        lane_pos[i] = rec.lane_in_round
+                        break
+            src = jnp.transpose(rnd.cols_dev, (0, 2, 1, 3))  # [S, Br, Cm, 7]
+            src = src[:, lane_pos]  # [S, B, Cm, 7]
+            g = jnp.take_along_axis(
+                src, jnp.asarray(steps)[:, :, None, None], axis=0
+            )  # [K_max, B, Cm, 7]
+            m = jnp.asarray(mask)[:, :, None, None]
+            cols_tab = g * m if cols_tab is None else jnp.where(m, g, cols_tab)
+        return cols_tab, band_tab
 
     # ------------------------------------------------------------- device round
     def _run_round(self, problems, codes, seq_lens, requests, S_max):
@@ -283,18 +501,10 @@ class BandedBatchAligner:
                 rec: _Rec = carry
                 band = rec.rnd.band_ids[rec.step, rec.lane_in_round]
                 init_ids[pos] = band
-                cols = rec.cols()
-                init_send[pos] = cols[:, 5]
+                init_send[pos] = rec.sends()
                 init_nmin[pos] = rec.rnd.node_min[rec.step, rec.lane_in_round]
+                init_nend[pos] = rec.rnd.node_end[rec.step, rec.lane_in_round]
                 init_min[pos] = rec.min_score
-                real = band[band != EMPTY]
-                nend = np.full(self.Nm, INF, dtype=np.int32)
-                if len(real):
-                    ends = _node_ends_from_cols(self.tables, real, cols)
-                    for slot, node in enumerate(band):
-                        if node != EMPTY:
-                            nend[slot] = ends[int(node)]
-                init_nend[pos] = nend
 
         out = banded_scan(
             *self._device_args(),
@@ -318,10 +528,12 @@ class BandedBatchAligner:
             num_steps=steps,
             band_ids=np.asarray(out["band_ids"]),
             node_min=np.asarray(out["node_min"]),
+            node_end=np.asarray(out["node_end"]),
             min_score=np.asarray(out["min_score"]),
             num_cells=np.asarray(out["num_cells"]),
             overflow=np.asarray(out["overflow"]),
-            cols=np.asarray(out["cols"]),
+            cols_dev=out["cols"],
+            sends_dev=out["sends"],
         )
         rnd._bw = bw
         rnd._carry_from = [r[2] for r in requests]
@@ -476,8 +688,7 @@ class BandedBatchAligner:
             )
             orders.append(order)
             nm = rec.node_min_map(self.tables)
-            ends = _node_ends_from_cols(self.tables, rec.band_ids(), rec.cols())
-            prev = _ProjShim(order, nm, ends, rec.min_score)
+            prev = _ProjShim(order, nm, rec.node_end_map(), rec.min_score)
         return orders
 
     def _reconstruct(
@@ -551,8 +762,8 @@ def align_reads_seeded_batch(
     import time as _time
 
     from .align import (
-        TwoDirectionalSplit,
         _add_alignment_nodes,
+        _reverse_trace,
         get_piecewise_traces_from_split,
         get_split_alignment,
         get_trace_info,
@@ -621,12 +832,13 @@ def align_reads_seeded_batch(
 
         if not wave:
             break
-        tables = aligner.get_tables(problems)
+        walked = aligner.get_traces(problems)
+        INT_MAX_L = 2**62
         for s, seed, fw_i, bw_i in wave:
             node_id, pos, reverse = seed
             sequence = s["read"].sequence
-            fb_needed = (fw_i is not None and tables[fw_i] is None) or (
-                bw_i is not None and tables[bw_i] is None
+            fb_needed = (fw_i is not None and walked[fw_i] is None) or (
+                bw_i is not None and walked[bw_i] is None
             )
             if fb_needed:
                 split = get_split_alignment(
@@ -638,15 +850,36 @@ def align_reads_seeded_batch(
                     aligner.initial_bandwidth,
                     aligner.ramp_bandwidth,
                 )
+                trace = get_piecewise_traces_from_split(graph, split, sequence)
+                est = split.estimated_correctly_aligned()
             else:
-                split = TwoDirectionalSplit(sequence_split_index=pos)
-                if bw_i is not None:
-                    split.backward = tables[bw_i]
+                # piecewise assembly on walked traces (reference
+                # getPiecewiseTracesFromSplit, GraphAligner.h:3040-3098)
+                fw = (0, [])
+                bw = (0, [])
+                keep_fw = keep_bw = 0
                 if fw_i is not None:
-                    split.forward = tables[fw_i]
-            trace = get_piecewise_traces_from_split(graph, split, sequence)
+                    f_score, f_trace, keep_fw = walked[fw_i]
+                    if keep_fw > 0:
+                        backtraceable = (
+                            len(sequence) - pos - graph.dbg_overlap
+                        )
+                        f_trace = list(f_trace)
+                        while f_trace and f_trace[-1][1] >= backtraceable:
+                            f_trace.pop()
+                        fw = (f_score, f_trace)
+                if bw_i is not None:
+                    b_score, b_trace, keep_bw = walked[bw_i]
+                    if keep_bw > 0:
+                        b_trace = list(b_trace)
+                        while b_trace and b_trace[-1][1] >= pos:
+                            b_trace.pop()
+                        b_trace = _reverse_trace(graph, b_trace, pos - 1)
+                        bw = (b_score, b_trace)
+                        fw = (fw[0], [(w, r + pos) for (w, r) in fw[1]])
+                trace = (fw, bw)
+                est = (keep_fw + keep_bw) * WORD_SIZE
             _add_alignment_nodes(graph, s["tried"], trace)
-            est = split.estimated_correctly_aligned()
             if s["best"] is None or est > s["best"][0]:
                 s["best"] = (est, trace, seed)
         active = [s for s in active if s["cursor"] < len(s["seeds"])]

@@ -65,6 +65,8 @@ class BandedGraphTables:
     in_nbrs: np.ndarray  # [N, K_in] int32, -1 pad
     out_nbrs: np.ndarray  # [N, K_out] int32, -1 pad
     topo_rank: np.ndarray  # [N] int32, unique, ascending ~ topo order
+    pos_to_node: np.ndarray  # [BP] int32 (backtrace walk)
+    node_end: np.ndarray  # [N] int32 (= node_start + node_len)
     k_in: int
     k_out: int
     num_nodes: int
@@ -104,6 +106,8 @@ def build_graph_tables(graph: AlignmentGraph) -> BandedGraphTables:
         in_nbrs=in_nbrs,
         out_nbrs=out_nbrs,
         topo_rank=topo_rank,
+        pos_to_node=graph.pos_to_node.astype(np.int32),
+        node_end=(graph.node_start + graph.node_len).astype(np.int32),
         k_in=k_in,
         k_out=k_out,
         num_nodes=n,
@@ -577,26 +581,28 @@ def _banded_scan(
         ys = (
             jnp.where(active[:, None], ids, EMPTY),
             jnp.where(active[:, None], nmin, INF),
+            jnp.where(active[:, None], node_end, INF),
             jnp.where(active, min_score, INF),
             jnp.where(active, jnp.minimum(c_used, Cm), 0),
             overflow & active,
             jnp.where(active[None, :, None], cols, 0),
+            jnp.where(active[:, None], sends, INF),
         )
         return n_carry, ys
 
-    import jax
-
-    xs = (bandwidth, jax.numpy.arange(S_max, dtype=jax.numpy.int32))
+    xs = (bandwidth, jax.lax.iota(jnp.int32, S_max))
     carry0 = (init_ids, init_cell_send, init_node_min, init_node_end, init_min)
     _, ys = jax.lax.scan(slice_step, carry0, xs)
-    band_ids, node_min, min_score, num_cells, overflow, cols = ys
+    band_ids, node_min, node_end, min_score, num_cells, overflow, cols, sends = ys
     return {
         "band_ids": band_ids,  # [S, B, Nm]
         "node_min": node_min,  # [S, B, Nm]
+        "node_end": node_end,  # [S, B, Nm] last cell's last-row score
         "min_score": min_score,  # [S, B]
         "num_cells": num_cells,  # [S, B]
         "overflow": overflow,  # [S, B]
         "cols": cols,  # [S, Cm, B, 7]: vp_lo vp_hi vn_lo vn_hi sbs send e
+        "sends": sends,  # [S, B, Cm] per-cell last-row scores
     }
 
 
