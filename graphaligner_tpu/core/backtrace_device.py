@@ -18,6 +18,10 @@ WordSlice.h:223-229). Slice 0 (the seed initial slice,
 getInitialSliceOnlyOneNode) is synthesized arithmetically: score 0 on
 the seed node, absent elsewhere.
 
+Array layouts keep the batch as the last axis ([K, Nm, B] bands,
+[7, B, K*Cm] columns) so every vector op tiles the TPU's 128-lane
+registers; see engine_banded's layout note.
+
 Like the host backtrace, a lane that takes no legal predecessor (or
 exceeds the step budget) raises a per-lane fail flag and falls back to
 the host path, mirroring the reference's per-read AssertionFailure
@@ -45,9 +49,8 @@ _JIT_CACHE: dict = {}
 
 def walk_batch(
     tables,
-    # consolidated per-table-slice tensors (slice k of the table = row k-1)
-    cols_tab,  # [K_max, B, Cm, 7] int32
-    band_tab,  # [K_max, B, Nm] int32
+    cols_tab,  # [7, B, K_max*Cm] int32 (field-major packed columns)
+    band_tab,  # [K_max, Nm, B] int32
     read_codes,  # [B, L] uint8
     seq_len,  # [B] int32 (padded length)
     seed_node,  # [B] int32 (initial slice's single band node)
@@ -55,16 +58,17 @@ def walk_batch(
     num_slices,  # [B] int32 K: table slice count (>=1)
     T_max: int,
 ):
-    """Returns (trace [T_max+1, B, 2] int32, steps [B] int32, fail [B] bool).
-    trace[0] is the start position; entries beyond `steps` are padding."""
-    K_max, B, Cm, _ = cols_tab.shape
-    Nm = band_tab.shape[2]
+    """Returns (trace [T_max+1, 2, B] int32, fail [B] bool).
+    trace[0] is the start position; entries after the walk finishes hold
+    the (-1, -2) pad."""
+    K_max, Nm, B = band_tab.shape
+    Cm = cols_tab.shape[2] // K_max
     key = (K_max, B, Cm, Nm, T_max, tables.k_in)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         import jax
 
-        fn = jax.jit(functools.partial(_walk, T_max=T_max))
+        fn = jax.jit(functools.partial(_walk, T_max=T_max, Cm=Cm))
         _JIT_CACHE[key] = fn
     return fn(
         tables.node_start,
@@ -101,34 +105,31 @@ def _walk(
     bt_match,
     *,
     T_max: int,
+    Cm: int,
 ):
     import jax
     import jax.numpy as jnp
 
-    K_max, B, Cm, _ = cols_tab.shape
-    Nm = band_tab.shape[2]
+    K_max, Nm, B = band_tab.shape
     K_in = in_nbrs.shape[1]
-    ar_b = jax.lax.iota(jnp.int32, B)
-    iota_nm = jax.lax.iota(jnp.int32, Nm)
+    iota_nm = jax.lax.broadcasted_iota(jnp.int32, (Nm, 1), 0)
 
     # per-slice exclusive cell offsets from band ids
     lens_tab = jnp.where(
         band_tab < EMPTY, node_len[jnp.clip(band_tab, 0, node_len.shape[0] - 1)], 0
     )
-    offs_tab = jnp.cumsum(lens_tab, axis=2) - lens_tab  # [K_max, B, Nm]
-
-    cols_flat = cols_tab.reshape(K_max * B * Cm, 7)
+    offs_tab = jnp.cumsum(lens_tab, axis=1) - lens_tab  # [K_max, Nm, B]
 
     def locate(sk, node):
-        """(found, cell index) of `node`'s first cell in table slice sk
-        (sk >= 1; row sk-1 of the tabs)."""
+        """(found, first cell index) of `node`'s cells in table slice sk
+        (sk >= 1; row sk-1 of the tabs). [B] in, [B] out."""
         k = jnp.clip(sk - 1, 0, K_max - 1)
-        ids = band_tab[k, ar_b]  # [B, Nm]
-        offs = offs_tab[k, ar_b]
-        eq = ids == node[:, None]
-        found = jnp.any(eq, axis=1)
-        slot = jnp.argmax(eq, axis=1)
-        return found, jnp.take_along_axis(offs, slot[:, None], axis=1)[:, 0]
+        ids = jnp.take_along_axis(band_tab, k[None, None, :], axis=0)[0]  # [Nm, B]
+        offs = jnp.take_along_axis(offs_tab, k[None, None, :], axis=0)[0]
+        eq = ids == node[None, :]
+        found = jnp.any(eq, axis=0)
+        slot = jnp.argmax(eq, axis=0)
+        return found, jnp.take_along_axis(offs, slot[None, :], axis=0)[0]
 
     def value(sk, w, r, default):
         """Score at (table slice sk, graph position w, slice row r);
@@ -138,12 +139,10 @@ def _walk(
         node = pos_to_node[w]
         found, first = locate(sk, node)
         cell = first + (w - node_start[node])
-        flat = (
-            jnp.clip(sk - 1, 0, K_max - 1) * (B * Cm)
-            + ar_b * Cm
-            + jnp.clip(cell, 0, Cm - 1)
-        )
-        col = cols_flat[flat]  # [B, 7]
+        flat = jnp.clip(sk - 1, 0, K_max - 1) * Cm + jnp.clip(cell, 0, Cm - 1)
+        col = jnp.take_along_axis(cols_tab, flat[None, :, None], axis=2)[
+            :, :, 0
+        ]  # [7, B]
         r = jnp.clip(r, 0, WORD_SIZE - 1)
         # masked popcount expansion (WordSlice::getValue)
         n_lo = jnp.minimum(r + 1, 32)
@@ -158,21 +157,17 @@ def _walk(
             jnp.uint32(0xFFFFFFFF),
             (jnp.uint32(1) << n_hi.astype(jnp.uint32)) - 1,
         )
-        vp_lo = jax.lax.bitcast_convert_type(col[:, 0], jnp.uint32)
-        vp_hi = jax.lax.bitcast_convert_type(col[:, 1], jnp.uint32)
-        vn_lo = jax.lax.bitcast_convert_type(col[:, 2], jnp.uint32)
-        vn_hi = jax.lax.bitcast_convert_type(col[:, 3], jnp.uint32)
+        u = lambda i: jax.lax.bitcast_convert_type(col[i], jnp.uint32)
         v = (
-            col[:, 4]
-            + jax.lax.population_count(vp_lo & m_lo).astype(jnp.int32)
-            + jax.lax.population_count(vp_hi & m_hi).astype(jnp.int32)
-            - jax.lax.population_count(vn_lo & m_lo).astype(jnp.int32)
-            - jax.lax.population_count(vn_hi & m_hi).astype(jnp.int32)
+            col[4]
+            + jax.lax.population_count(u(0) & m_lo).astype(jnp.int32)
+            + jax.lax.population_count(u(1) & m_hi).astype(jnp.int32)
+            - jax.lax.population_count(u(2) & m_lo).astype(jnp.int32)
+            - jax.lax.population_count(u(3) & m_hi).astype(jnp.int32)
         )
         # slice 0 = synthetic initial slice: 0 on the seed node, absent else
-        init_found = node == seed_node
         v = jnp.where(sk == 0, jnp.int32(0), v)
-        found = jnp.where(sk == 0, init_found, found)
+        found = jnp.where(sk == 0, node == seed_node, found)
         return jnp.where(found, v, default)
 
     def has_node(sk, node):
@@ -218,20 +213,18 @@ def _walk(
             decided = decided | take_h
             diag = jnp.where(
                 row_in == 0,
-                value(sk - 1, u, WORD_SIZE - 1, default),
+                value(sk - 1, u, jnp.full(B, WORD_SIZE - 1), default),
                 value(sk, u, row_in - 1, default),
             )
             take_d = (
-                uv
-                & jnp.where(matched, diag == here, diag == here - 1)
-                & ~decided
+                uv & jnp.where(matched, diag == here, diag == here - 1) & ~decided
             )
             n_w = jnp.where(take_d, u, n_w)
             n_row = jnp.where(take_d, row - 1, n_row)
             decided = decided | take_d
         vert = jnp.where(
             row_in == 0,
-            value(sk - 1, w, WORD_SIZE - 1, default),
+            value(sk - 1, w, jnp.full(B, WORD_SIZE - 1), default),
             value(sk, w, row_in - 1, default),
         )
         take_v = (vert == here - 1) & ~decided
@@ -244,16 +237,11 @@ def _walk(
         n_row = jnp.where(done | fail, row, n_row)
         n_sk = jnp.where(n_row < (sk - 1) * WORD_SIZE, sk - 1, sk)
         n_done = done | (n_row == -1)
-        out = jnp.stack(
-            [
-                jnp.where(done | fail, -1, n_w),
-                jnp.where(done | fail, -2, n_row),
-            ],
-            axis=1,
+        out = (
+            jnp.where(done | fail, -1, n_w),
+            jnp.where(done | fail, -2, n_row),
         )
         return (n_sk, n_w, n_row, n_done, fail), out
-
-    import jax.numpy as jnp2
 
     row0 = num_slices * WORD_SIZE - 1
     init = (
@@ -261,12 +249,12 @@ def _walk(
         start_w,
         row0,
         num_slices < 1,
-        jnp2.zeros(B, bool),
+        jnp.zeros(B, bool),
     )
-    (sk, w, row, done, fail), outs = jax.lax.scan(
+    (sk, w, row, done, fail), (out_w, out_r) = jax.lax.scan(
         step, init, None, length=T_max
     )
     fail = fail | ~done  # ran out of steps
-    start = jnp2.stack([start_w, row0], axis=1)[None]  # [1, B, 2]
-    trace = jnp2.concatenate([start, outs], axis=0)  # [T_max+1, B, 2]
-    return trace, fail
+    trace_w = jnp.concatenate([start_w[None], out_w], axis=0)  # [T_max+1, B]
+    trace_r = jnp.concatenate([row0[None], out_r], axis=0)
+    return jnp.stack([trace_w, trace_r], axis=1), fail  # [T_max+1, 2, B]

@@ -62,14 +62,14 @@ class _Round:
     lanes: list  # problem index per batch lane
     start_slice: np.ndarray  # [B]
     num_steps: np.ndarray  # [B]
-    band_ids: np.ndarray  # [S, B, Nm]
-    node_min: np.ndarray  # [S, B, Nm]
-    node_end: np.ndarray  # [S, B, Nm]
+    band_ids: np.ndarray  # [S, Nm, B]
+    node_min: np.ndarray  # [S, Nm, B]
+    node_end: np.ndarray  # [S, Nm, B]
     min_score: np.ndarray  # [S, B]
     num_cells: np.ndarray  # [S, B]
     overflow: np.ndarray  # [S, B]
-    cols_dev: object  # [S, Cm, B, 7] — stays in device HBM
-    sends_dev: object  # [S, B, Cm] — stays in device HBM
+    cols_dev: object  # [S, 7, Cm, B] — stays in device HBM
+    sends_dev: object  # [S, Cm, B] — stays in device HBM
 
 
 @dataclass
@@ -95,27 +95,29 @@ class _Rec:
         return bool(self.rnd.overflow[self.step, self.lane_in_round])
 
     def band_ids(self) -> np.ndarray:
-        ids = self.rnd.band_ids[self.step, self.lane_in_round]
+        ids = self.rnd.band_ids[self.step, :, self.lane_in_round]
         return ids[ids != EMPTY]
 
     def node_min_map(self, tables) -> dict:
-        ids = self.rnd.band_ids[self.step, self.lane_in_round]
-        nm = self.rnd.node_min[self.step, self.lane_in_round]
+        ids = self.rnd.band_ids[self.step, :, self.lane_in_round]
+        nm = self.rnd.node_min[self.step, :, self.lane_in_round]
         return {int(i): int(m) for i, m in zip(ids, nm) if i != EMPTY}
 
     def node_end_map(self) -> dict:
-        ids = self.rnd.band_ids[self.step, self.lane_in_round]
-        ne = self.rnd.node_end[self.step, self.lane_in_round]
+        ids = self.rnd.band_ids[self.step, :, self.lane_in_round]
+        ne = self.rnd.node_end[self.step, :, self.lane_in_round]
         return {int(i): int(e) for i, e in zip(ids, ne) if i != EMPTY}
 
     def cols(self) -> np.ndarray:
         """Fetch this lane's packed slice columns from device [Cm, 7]
         (fallback/reconstruction path only)."""
-        return np.asarray(self.rnd.cols_dev[self.step, :, self.lane_in_round])
+        return np.asarray(
+            self.rnd.cols_dev[self.step, :, :, self.lane_in_round]
+        ).T
 
     def sends(self) -> np.ndarray:
         """Fetch this lane's per-cell last-row scores from device [Cm]."""
-        return np.asarray(self.rnd.sends_dev[self.step, self.lane_in_round])
+        return np.asarray(self.rnd.sends_dev[self.step, :, self.lane_in_round])
 
 
 class _ProjShim:
@@ -319,6 +321,7 @@ class BandedBatchAligner:
 
         K_max = int(max(keeps[i] for i in walk_idx))
         cols_tab, band_tab = self._consolidate(lanes, keeps, K_max)
+        assert cols_tab is not None
         T_max = K_max * 80 + WORD_SIZE
         seed_nodes = np.array([p[1] for p in problems], dtype=np.int32)
         trace_dev, fail_dev = walk_batch(
@@ -332,17 +335,16 @@ class BandedBatchAligner:
             keeps,
             T_max=T_max,
         )
-        trace = np.asarray(trace_dev)  # [T_max+1, B, 2]
+        trace = np.asarray(trace_dev)  # [T_max+1, 2, B]
         fail = np.asarray(fail_dev)
         for i in walk_idx:
             lane = lanes[i]
             if fail[i]:
                 lane.failed = True
                 continue
-            tr = trace[:, i]
-            rows = tr[:, 1]
+            rows = trace[:, 1, i]
             n = int(np.argmax(rows == -2)) if (rows == -2).any() else len(rows)
-            steps = [(int(w), int(r)) for w, r in tr[:n]]
+            steps = list(zip(trace[:n, 0, i].tolist(), rows[:n].tolist()))
             if not steps or steps[-1][1] != -1:
                 lane.failed = True
                 continue
@@ -381,7 +383,9 @@ class BandedBatchAligner:
                     steps[i] = rec.step
                     lane_pos[i] = rec.lane_in_round
                     mask[i] = True
-            src = rnd.sends_dev[jnp.asarray(steps), jnp.asarray(lane_pos)]  # [B, Cm]
+            src = rnd.sends_dev[
+                jnp.asarray(steps), :, jnp.asarray(lane_pos)
+            ]  # [B, Cm]
             m = jnp.asarray(mask)[:, None]
             acc = jnp.where(m, src, 0) if acc is None else jnp.where(m, src, acc)
         return np.asarray(acc)  # [B, Cm]
@@ -430,7 +434,7 @@ class BandedBatchAligner:
             for rec in lane.accepted:
                 if rec.rnd not in rounds:
                     rounds.append(rec.rnd)
-        band_tab = np.full((K_max, B, self.Nm), int(EMPTY), dtype=np.int32)
+        band_tab = np.full((K_max, self.Nm, B), int(EMPTY), dtype=np.int32)
         cols_tab = None
         for rnd in rounds:
             steps = np.zeros((K_max, B), dtype=np.int32)
@@ -442,7 +446,9 @@ class BandedBatchAligner:
                     if rec.rnd is rnd:
                         steps[k, i] = rec.step
                         mask[k, i] = True
-                        band_tab[k, i] = rnd.band_ids[rec.step, rec.lane_in_round]
+                        band_tab[k, :, i] = rnd.band_ids[
+                            rec.step, :, rec.lane_in_round
+                        ]
             # map batch lanes: lane i occupies rec.lane_in_round in rnd
             lane_pos = np.zeros(B, dtype=np.int32)
             for i, lane in enumerate(lanes):
@@ -450,13 +456,20 @@ class BandedBatchAligner:
                     if rec.rnd is rnd:
                         lane_pos[i] = rec.lane_in_round
                         break
-            src = jnp.transpose(rnd.cols_dev, (0, 2, 1, 3))  # [S, Br, Cm, 7]
-            src = src[:, lane_pos]  # [S, B, Cm, 7]
+            # cols_dev [S, 7, Cm, Br] -> [S, 7, B, Cm] -> gather K -> walk
+            # layout [7, B, K_max, Cm]
+            src = rnd.cols_dev[:, :, :, lane_pos]  # [S, 7, Cm, B]
+            src = jnp.transpose(src, (0, 1, 3, 2))  # [S, 7, B, Cm]
             g = jnp.take_along_axis(
-                src, jnp.asarray(steps)[:, :, None, None], axis=0
-            )  # [K_max, B, Cm, 7]
-            m = jnp.asarray(mask)[:, :, None, None]
-            cols_tab = g * m if cols_tab is None else jnp.where(m, g, cols_tab)
+                src, jnp.asarray(steps)[:, None, :, None], axis=0
+            )  # [K_max, 7, B, Cm]
+            m = jnp.asarray(mask)[:, None, :, None]
+            cols_tab = (
+                jnp.where(m, g, 0) if cols_tab is None else jnp.where(m, g, cols_tab)
+            )
+        cols_tab = jnp.transpose(cols_tab, (1, 2, 0, 3)).reshape(
+            7, B, K_max * cols_tab.shape[3]
+        )
         return cols_tab, band_tab
 
     # ------------------------------------------------------------- device round
@@ -499,11 +512,11 @@ class BandedBatchAligner:
                     bw[k, pos] = self.ramp_bandwidth
             if carry != "init":
                 rec: _Rec = carry
-                band = rec.rnd.band_ids[rec.step, rec.lane_in_round]
-                init_ids[pos] = band
+                lr = rec.lane_in_round
+                init_ids[pos] = rec.rnd.band_ids[rec.step, :, lr]
                 init_send[pos] = rec.sends()
-                init_nmin[pos] = rec.rnd.node_min[rec.step, rec.lane_in_round]
-                init_nend[pos] = rec.rnd.node_end[rec.step, rec.lane_in_round]
+                init_nmin[pos] = rec.rnd.node_min[rec.step, :, lr]
+                init_nend[pos] = rec.rnd.node_end[rec.step, :, lr]
                 init_min[pos] = rec.min_score
 
         out = banded_scan(

@@ -122,22 +122,27 @@ def build_graph_tables(graph: AlignmentGraph) -> BandedGraphTables:
 _JIT_CACHE: dict = {}
 
 
-def banded_scan(*args, S_max, Nm, Cm, I_proj=32, P_fix=16):
+def banded_scan(*args, S_max, Nm, Cm, I_proj=32, P_fix=16, unroll=1):
     B = args[6].shape[0]
-    key = (S_max, Nm, Cm, I_proj, P_fix, B)
+    key = (S_max, Nm, Cm, I_proj, P_fix, B, unroll)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         import jax
 
         fn = jax.jit(
             functools.partial(
-                _banded_scan, S_max=S_max, Nm=Nm, Cm=Cm, I_proj=I_proj, P_fix=P_fix
+                _banded_scan,
+                S_max=S_max,
+                Nm=Nm,
+                Cm=Cm,
+                I_proj=I_proj,
+                P_fix=P_fix,
+                unroll=unroll,
             )
         )
         _JIT_CACHE[key] = fn
     # match table passed as an argument, not closed over (see note below)
     return fn(*args, _MATCH_TABLE)
-
 
 def _banded_scan(
     # graph tables
@@ -166,7 +171,13 @@ def _banded_scan(
     Cm: int,
     I_proj: int = 32,
     P_fix: int = 16,
+    unroll: int = 1,
 ):
+    """All internal arrays are laid out with the batch as the LAST axis
+    ([Nm, B], [Cm, B], [K, Cm, B]) and per-field (never a trailing
+    size-7 struct axis): the TPU tiles the last dimension to 128 lanes,
+    so a trailing Nm=32 or 7 axis would multiply memory traffic ~4-18x.
+    Outputs follow the same convention (cols [S, 7, Cm, B])."""
     import jax
     import jax.numpy as jnp
 
@@ -184,28 +195,29 @@ def _banded_scan(
     ONES = jnp.uint32(0xFFFFFFFF)
 
     def gather_node(table, ids, fill):
-        """table[ids] with EMPTY slots mapped to `fill`."""
+        """table[ids] with EMPTY slots mapped to `fill` (1-D table)."""
         safe = jnp.clip(ids, 0, table.shape[0] - 1)
         out = table[safe]
         mask = (ids < EMPTY).reshape(ids.shape + (1,) * (out.ndim - ids.ndim))
         return jnp.where(mask, out, fill)
 
     # ------------------------------------------------------ band projection
-    def project_band(p_ids, p_node_min, p_node_end, p_min, bw):
+    def project_band(p_ids_bn, p_node_min_bn, p_node_end_bn, p_min, bw):
         """projectForwardFromMinScore (GraphAligner.h:1110-1159) as a
-        sort-deduped Bellman-Ford over node slots. Universe entries are
+        sort-deduped Bellman-Ford over node slots ([B, Nm] layout — the
+        sorts run along the last axis). Universe entries are
         (id, pri, outp): pri = the Dijkstra priority (0 for qualifying
         previous-band seeds), outp = the priority this entry's expansion
         assigns to out-neighbors (seed: end_score-min+1; expanded:
         pri+len)."""
         ew = bw + WORD_SIZE  # [B]
-        valid_slot = p_ids < EMPTY
-        qualified = valid_slot & (p_node_min <= (p_min + bw)[:, None])
-        ids0 = jnp.where(qualified, p_ids, EMPTY)
+        valid_slot = p_ids_bn < EMPTY
+        qualified = valid_slot & (p_node_min_bn <= (p_min + bw)[:, None])
+        ids0 = jnp.where(qualified, p_ids_bn, EMPTY)
         pri0 = jnp.where(qualified, 0, INF_PRI).astype(jnp.int32)
-        seed_exp = qualified & (p_node_end <= (p_min + ew)[:, None])
+        seed_exp = qualified & (p_node_end_bn <= (p_min + ew)[:, None])
         outp0 = jnp.where(
-            seed_exp, p_node_end - p_min[:, None] + 1, jnp.int32(INF_PRI)
+            seed_exp, p_node_end_bn - p_min[:, None] + 1, jnp.int32(INF_PRI)
         ).astype(jnp.int32)
 
         def body(state):
@@ -265,106 +277,90 @@ def _banded_scan(
 
     # -------------------------------------------------------------- slice step
     def slice_step(carry, xs):
-        p_ids, p_cell_send, p_node_min, p_node_end, p_min = carry
+        p_ids, p_cell_send, p_node_min, p_node_end, p_min = carry  # [Nm|Cm, B]
         bw, t = xs  # [B], scalar
         active = t < num_steps  # [B]
         g_slice = start_slice + t  # [B] global slice index
 
-        ids, proj_over = project_band(p_ids, p_node_min, p_node_end, p_min, bw)
+        ids_bn, proj_over = project_band(
+            p_ids.T, p_node_min.T, p_node_end.T, p_min, bw
+        )
+        ids = ids_bn.T  # [Nm, B]
         valid_slot = ids < EMPTY
 
-        # ---- cell layout -------------------------------------------------
-        lens = gather_node(node_len, ids, 0)  # [B, Nm]
-        offsets = jnp.cumsum(lens, axis=1) - lens  # exclusive
-        c_used = jnp.sum(lens, axis=1)  # [B]
+        # ---- per-slot tables ([Nm, B]; consumed in-scan via one one-hot
+        # read per cell — serial [Cm, B] XLA gathers cost ~10ms EACH on
+        # this TPU, so none are used) --------------------------------------
+        lens = gather_node(node_len, ids, 0)  # [Nm, B]
+        starts_tab = gather_node(node_start, ids, 0)  # [Nm, B]
+        c_used = jnp.sum(lens, axis=0)  # [B]
         cell_over = c_used > Cm
-        le = (offsets[:, None, :] <= iota_cm[None, :, None]) & valid_slot[:, None, :]
-        cell_slot = jnp.maximum(jnp.sum(le, axis=2) - 1, 0)  # [B, Cm]
-        valid_cell = iota_cm[None, :] < jnp.minimum(c_used, Cm)[:, None]
-        cell_node = jnp.take_along_axis(ids, cell_slot, axis=1)
-        cell_off = iota_cm[None, :] - jnp.take_along_axis(offsets, cell_slot, axis=1)
-        cell_pos = gather_node(node_start, cell_node, 0) + cell_off
-        cell_pos = jnp.clip(cell_pos, 0, seq_codes.shape[0] - 1)
-        cell_code = jnp.where(valid_cell, seq_codes[cell_pos], 4)
-        cell_len = jnp.take_along_axis(lens, cell_slot, axis=1)
-        is_start = (cell_off == 0) & valid_cell
-        is_end = (cell_off == cell_len - 1) & valid_cell
 
-        # ---- previous-band matching --------------------------------------
+        # ---- previous-band matching ([Nm, B]) ------------------------------
         same = (
-            (ids[:, :, None] == p_ids[:, None, :])
-            & valid_slot[:, :, None]
-            & (p_ids < EMPTY)[:, None, :]
-        )
-        node_in_prev = jnp.any(same, axis=2)  # [B, Nm]
-        prev_slot = jnp.argmax(same, axis=2)  # [B, Nm]
+            (ids[:, None, :] == p_ids[None, :, :])
+            & valid_slot[:, None, :]
+            & (p_ids < EMPTY)[None, :, :]
+        )  # [Nm, Nm_prev, B]
+        node_in_prev = jnp.any(same, axis=1)  # [Nm, B]
+        prev_slot = jnp.argmax(same, axis=1)  # [Nm, B]
         p_lens = gather_node(node_len, p_ids, 0)
-        p_offsets = jnp.cumsum(p_lens, axis=1) - p_lens
-        prev_base = jnp.take_along_axis(p_offsets, prev_slot, axis=1)  # [B, Nm]
-        cell_in_prev = jnp.take_along_axis(node_in_prev, cell_slot, axis=1) & valid_cell
-        old_idx = jnp.clip(
-            jnp.take_along_axis(prev_base, cell_slot, axis=1) + cell_off, 0, Cm - 1
-        )
-        old_end = jnp.where(
-            cell_in_prev, jnp.take_along_axis(p_cell_send, old_idx, axis=1), INF
-        )
+        p_offsets = jnp.cumsum(p_lens, axis=0) - p_lens
+        prev_base = jnp.take_along_axis(p_offsets, prev_slot, axis=0)  # [Nm, B]
 
-        # ---- in-neighbor classification per slot --------------------------
-        nb = gather_node(in_nbrs, ids, -1)  # [B, Nm, K_in]
-        nb_valid = (nb >= 0) & valid_slot[:, :, None]
-        eq_cur = (nb[:, :, :, None] == ids[:, None, None, :]) & nb_valid[..., None]
-        nb_in_cur = jnp.any(eq_cur, axis=3)
-        nb_cur_slot = jnp.argmax(eq_cur, axis=3)  # [B, Nm, K_in]
-        eq_prev = (
-            (nb[:, :, :, None] == p_ids[:, None, None, :])
-            & nb_valid[..., None]
-            & (p_ids < EMPTY)[:, None, None, :]
-        )
-        nb_in_prev = jnp.any(eq_prev, axis=3)
-        nb_prev_slot = jnp.argmax(eq_prev, axis=3)
-        nb_prev_end = jnp.where(
-            nb_in_prev,
-            jnp.take_along_axis(p_node_end[:, None, :], nb_prev_slot, axis=2),
-            INF,
-        )
-        pseudo_mask = nb_in_prev & ~nb_in_cur
-        slot_pseudo = jnp.min(jnp.where(pseudo_mask, nb_prev_end, INF), axis=2)
-        any_banded = jnp.any(nb_in_cur | nb_in_prev, axis=2)  # [B, Nm]
+        # ---- in-neighbor classification per slot ---------------------------
+        nb_in_cur = []
+        nb_cur_slot = []
+        any_banded = jnp.zeros((Nm, B), bool)
+        slot_pseudo = jnp.full((Nm, B), INF, jnp.int32)
+        for k in range(K_in):
+            nb_k = gather_node(in_nbrs[:, k], ids, -1)  # [Nm, B]
+            nbv = (nb_k >= 0) & valid_slot
+            eq_cur = (nb_k[:, None, :] == ids[None, :, :]) & nbv[:, None, :]
+            in_cur_k = jnp.any(eq_cur, axis=1)
+            cur_slot_k = jnp.argmax(eq_cur, axis=1)
+            eq_prev = (
+                (nb_k[:, None, :] == p_ids[None, :, :])
+                & nbv[:, None, :]
+                & (p_ids < EMPTY)[None, :, :]
+            )
+            in_prev_k = jnp.any(eq_prev, axis=1)
+            prev_slot_k = jnp.argmax(eq_prev, axis=1)
+            pe_k = jnp.where(
+                in_prev_k,
+                jnp.take_along_axis(p_node_end, prev_slot_k, axis=0),
+                INF,
+            )
+            slot_pseudo = jnp.minimum(
+                slot_pseudo, jnp.where(in_prev_k & ~in_cur_k, pe_k, INF)
+            )
+            any_banded = any_banded | in_cur_k | in_prev_k
+            nb_in_cur.append(in_cur_k)
+            nb_cur_slot.append(cur_slot_k)
         band_source = ~any_banded & valid_slot
         src_noprev_slot = band_source & ~node_in_prev
-        src_sm_slot = band_source & node_in_prev & (g_slice == 0)[:, None]
+        src_sm_slot = band_source & node_in_prev & (g_slice == 0)[None, :]
 
-        # per-cell views (start cells only consume these)
-        pseudo_cell = jnp.take_along_axis(slot_pseudo, cell_slot, axis=1)
-        src_noprev = jnp.take_along_axis(src_noprev_slot, cell_slot, axis=1) & is_start
-        src_sm = jnp.take_along_axis(src_sm_slot, cell_slot, axis=1) & is_start
-        pred_slot = jnp.take_along_axis(nb_cur_slot, cell_slot[:, :, None], axis=1)
-        pred_valid = (
-            jnp.take_along_axis(nb_in_cur, cell_slot[:, :, None], axis=1)
-            & is_start[:, :, None]
-        )  # [B, Cm, K_in]
-
-        # ---- Eq vectors per cell ------------------------------------------
+        # ---- per-slice Eq words for the 5 graph codes ([5, B]) -------------
         rc_base = jnp.clip(g_slice * WORD_SIZE, 0, read_codes.shape[1] - WORD_SIZE)
         rc = jnp.take_along_axis(
             read_codes.astype(jnp.int32),
             rc_base[:, None] + jax.lax.iota(jnp.int32, WORD_SIZE)[None, :],
             axis=1,
         )  # [B, 64]
-        mt = match_table[rc]  # [B, 64, 5]
-        w32 = (
-            jnp.uint32(1) << jax.lax.iota(jnp.uint32, 32)
-        )[None, :, None]
-        eq_lo_all = jnp.sum(
-            jnp.where(mt[:, :32], w32, jnp.uint32(0)), axis=1, dtype=jnp.uint32
-        )  # [B, 5]
-        eq_hi_all = jnp.sum(
-            jnp.where(mt[:, 32:], w32, jnp.uint32(0)), axis=1, dtype=jnp.uint32
-        )
-        eq_lo_cell = jnp.take_along_axis(eq_lo_all, cell_code, axis=1)  # [B, Cm]
-        eq_hi_cell = jnp.take_along_axis(eq_hi_all, cell_code, axis=1)
+        w32 = jnp.uint32(1) << jax.lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
+        eq_lo_codes = []
+        eq_hi_codes = []
+        for g in range(5):
+            bits = jnp.take(match_table[:, g], rc)  # [B, 64]
+            eq_lo_codes.append(
+                jnp.sum(jnp.where(bits[:, :32], w32, 0), axis=1, dtype=jnp.uint32)
+            )
+            eq_hi_codes.append(
+                jnp.sum(jnp.where(bits[:, 32:], w32, 0), axis=1, dtype=jnp.uint32)
+            )
 
-        # ---- inner scan over cells (bit-parallel DP) ----------------------
+        # ---- inner scan over cells (bit-parallel DP + layout walk) ----------
         def inf_col():
             z = jnp.zeros(B, jnp.uint32)
             return (
@@ -377,41 +373,44 @@ def _banded_scan(
                 jnp.zeros(B, jnp.int32),
             )
 
-        cell_xs = (
-            eq_lo_cell.T,
-            eq_hi_cell.T,
-            is_start.T,
-            is_end.T,
-            valid_cell.T,
-            cell_slot.T,
-            old_end.T,
-            cell_in_prev.T,
-            pseudo_cell.T,
-            src_noprev.T,
-            src_sm.T,
-            jnp.transpose(pred_slot, (1, 0, 2)),
-            jnp.transpose(pred_valid, (1, 0, 2)),
-        )
-
         def cell_pass(buf_init):
-            def cell_step(ccarry, cxs):
-                col, buf, nmin = ccarry
-                (
-                    eq_lo,
-                    eq_hi,
-                    st,
-                    en,
-                    vc,
-                    slot,
-                    oe,
-                    inprev,
-                    pseudo_o,
-                    srcnp,
-                    srcsm,
-                    pslot,
-                    pvalid,
-                ) = cxs
+            # buf: tuple of 7 [Nm, B] arrays (int32-encoded fields)
+            def cell_step(ccarry, c):
+                col, buf, nmin, slot, off, be_acc = ccarry
                 vp_lo, vp_hi, vn_lo, vn_hi, sbs, send, e_prev = col
+
+                # ---- per-cell metadata from slot tables (shared one-hot)
+                oh = iota_nm[:, None] == slot[None, :]  # [Nm, B]
+
+                def rd(tab, fill=0):
+                    return jnp.sum(
+                        jnp.where(oh, tab, 0), axis=0
+                    ) + jnp.where(jnp.any(oh, axis=0), 0, fill)
+
+                len_s = rd(lens)
+                vc = (c < c_used) & (len_s > 0)
+                st = (off == 0) & vc
+                en = (off == len_s - 1) & vc
+                inprev = rd(node_in_prev.astype(jnp.int32)) == 1
+                pos = jnp.clip(
+                    rd(starts_tab) + off, 0, seq_codes.shape[0] - 1
+                )
+                code = jnp.where(vc, seq_codes[pos], 4)
+                eq_lo = jnp.zeros(B, jnp.uint32)
+                eq_hi = jnp.zeros(B, jnp.uint32)
+                for g in range(5):
+                    sel = code == g
+                    eq_lo = jnp.where(sel, eq_lo_codes[g], eq_lo)
+                    eq_hi = jnp.where(sel, eq_hi_codes[g], eq_hi)
+                old_idx = jnp.clip(rd(prev_base) + off, 0, Cm - 1)
+                oe = jnp.where(
+                    inprev & vc,
+                    jnp.take_along_axis(p_cell_send, old_idx[None, :], axis=0)[0],
+                    INF,
+                )
+                pseudo_o = jnp.where(st, rd(slot_pseudo, INF), INF)
+                srcnp = st & (rd(src_noprev_slot.astype(jnp.int32)) == 1)
+                srcsm = st & (rd(src_sm_slot.astype(jnp.int32)) == 1)
 
                 # within-node chain advance
                 r_chain = jnp.minimum(oe, sbs + 1)
@@ -421,50 +420,49 @@ def _banded_scan(
                     eq_lo_c, eq_hi, vp_lo, vp_hi, vn_lo, vn_hi, send, hin
                 )
 
-                # node-start path: merge candidate columns
+                # node-start path. The three "uniform" candidate columns of
+                # the reference — vertical continuation of the previous
+                # slice (getSourceSliceFromScore/StartMatch), the pseudo
+                # column from previous-band-only in-neighbors, and the
+                # unseen-band-source len+1 column — all have rows
+                # A + r with per-column A and sbs, so their elementwise min
+                # is one directly-constructed column (saves two
+                # mergeTwoSlices evaluations per cell).
                 match0 = (eq_lo & 1).astype(jnp.int32)
                 sm0 = jnp.where(srcsm, 1 - match0, 1)
-                u_vp_lo = (ONES & ~jnp.uint32(1)) | sm0.astype(jnp.uint32)
+                sbs_b = jnp.where(inprev, oe, INF)
+                a_b = jnp.where(inprev, oe + sm0, INF + 1)
+                has_ps = pseudo_o < INF
+                sbs_p = jnp.where(has_ps, pseudo_o + 1, INF)
+                a_p = jnp.where(has_ps, pseudo_o + 1 - match0, INF + 1)
+                sbs_s = jnp.where(srcnp, seq_len + 1, INF)
+                a_s = jnp.where(srcnp, seq_len + 2, INF + 1)
+                sbs_f = jnp.minimum(jnp.minimum(sbs_b, sbs_p), sbs_s)
+                a_f = jnp.minimum(jnp.minimum(a_b, a_p), a_s)
+                delta = a_f - sbs_f  # in [-1, 1]
                 merged = (
-                    jnp.where(inprev, u_vp_lo, ONES),
+                    (ONES & ~jnp.uint32(1)) | (delta == 1).astype(jnp.uint32),
                     jnp.full(B, ONES, jnp.uint32),
+                    (delta == -1).astype(jnp.uint32),
                     jnp.zeros(B, jnp.uint32),
-                    jnp.zeros(B, jnp.uint32),
-                    jnp.where(inprev, oe, INF),
-                    jnp.where(inprev, oe + 63 + sm0, INF + WORD_SIZE),
+                    sbs_f,
+                    a_f + 63,
                     jnp.zeros(B, jnp.int32),
                 )
-                # pseudo column from previous-band-only in-neighbors
-                has_pseudo = pseudo_o < INF
-                ps = (
-                    jnp.full(B, ONES & ~jnp.uint32(1), jnp.uint32),
-                    jnp.full(B, ONES, jnp.uint32),
-                    match0.astype(jnp.uint32),
-                    jnp.zeros(B, jnp.uint32),
-                    pseudo_o + 1,
-                    pseudo_o + WORD_SIZE - match0,
-                    jnp.zeros(B, jnp.int32),
-                )
-                cand = wordops.merge_slices(merged, ps)
-                merged = tuple(
-                    jnp.where(has_pseudo, c, m) for c, m in zip(cand, merged)
-                )
-                # band source never seen before: len(seq)+1 vertical column
-                src_col = wordops.uniform_column(seq_len + 1) + (
-                    jnp.zeros(B, jnp.int32),
-                )
-                cand = wordops.merge_slices(merged, src_col)
-                merged = tuple(jnp.where(srcnp, c, m) for c, m in zip(cand, merged))
                 # in-band predecessor columns (getNodeStartSlice)
                 for k in range(K_in):
-                    g = jnp.take_along_axis(buf, pslot[:, k][:, None, None], axis=1)[
-                        :, 0
-                    ]  # [B, 7]
-                    g_vp_lo = jax.lax.bitcast_convert_type(g[:, 0], jnp.uint32)
-                    g_vp_hi = jax.lax.bitcast_convert_type(g[:, 1], jnp.uint32)
-                    g_vn_lo = jax.lax.bitcast_convert_type(g[:, 2], jnp.uint32)
-                    g_vn_hi = jax.lax.bitcast_convert_type(g[:, 3], jnp.uint32)
-                    eq_lo_k = jnp.where(g[:, 6] == 1, eq_lo, eq_lo & ~jnp.uint32(1))
+                    pslot_k = rd(nb_cur_slot[k])
+                    pvalid_k = st & (rd(nb_in_cur[k].astype(jnp.int32)) == 1)
+                    be_acc = be_acc | (pvalid_k & (pslot_k >= slot))
+                    oh_p = iota_nm[:, None] == jnp.where(pvalid_k, pslot_k, -1)[
+                        None, :
+                    ]
+                    g = [jnp.sum(jnp.where(oh_p, f, 0), axis=0) for f in buf]
+                    g_vp_lo = jax.lax.bitcast_convert_type(g[0], jnp.uint32)
+                    g_vp_hi = jax.lax.bitcast_convert_type(g[1], jnp.uint32)
+                    g_vn_lo = jax.lax.bitcast_convert_type(g[2], jnp.uint32)
+                    g_vn_hi = jax.lax.bitcast_convert_type(g[3], jnp.uint32)
+                    eq_lo_k = jnp.where(g[6] == 1, eq_lo, eq_lo & ~jnp.uint32(1))
                     a_vp_lo, a_vp_hi, a_vn_lo, a_vn_hi, a_send = (
                         wordops.myers_advance(
                             eq_lo_k,
@@ -473,7 +471,7 @@ def _banded_scan(
                             g_vp_hi,
                             g_vn_lo,
                             g_vn_hi,
-                            g[:, 5],
+                            g[5],
                             jnp.ones(B, jnp.int32),
                         )
                     )
@@ -482,13 +480,13 @@ def _banded_scan(
                         a_vp_hi,
                         a_vn_lo,
                         a_vn_hi,
-                        g[:, 4] + 1,
+                        g[4] + 1,
                         a_send,
-                        g[:, 6],
+                        g[6],
                     )
                     cand = wordops.merge_slices(merged, adv)
                     merged = tuple(
-                        jnp.where(pvalid[:, k], c, m) for c, m in zip(cand, merged)
+                        jnp.where(pvalid_k, cc, m) for cc, m in zip(cand, merged)
                     )
                 s_vp_lo, s_vp_hi, s_vn_lo, s_vn_hi, s_sbs, s_send, _ = merged
 
@@ -503,56 +501,76 @@ def _banded_scan(
                 )
                 n_e = (inprev & (n_sbs == oe) & vc).astype(jnp.int32)
 
-                vals = jnp.stack(
-                    [
-                        jax.lax.bitcast_convert_type(n_vp_lo, jnp.int32),
-                        jax.lax.bitcast_convert_type(n_vp_hi, jnp.int32),
-                        jax.lax.bitcast_convert_type(n_vn_lo, jnp.int32),
-                        jax.lax.bitcast_convert_type(n_vn_hi, jnp.int32),
-                        n_sbs,
-                        n_send,
-                        n_e,
-                    ],
-                    axis=1,
-                )  # [B, 7]
-                end_oh = (iota_nm[None, :] == slot[:, None]) & (en & vc)[:, None]
-                buf = jnp.where(end_oh[:, :, None], vals[:, None, :], buf)
-                min_oh = (iota_nm[None, :] == slot[:, None]) & vc[:, None]
-                nmin = jnp.where(min_oh, jnp.minimum(nmin, n_send[:, None]), nmin)
+                fields = (
+                    jax.lax.bitcast_convert_type(n_vp_lo, jnp.int32),
+                    jax.lax.bitcast_convert_type(n_vp_hi, jnp.int32),
+                    jax.lax.bitcast_convert_type(n_vn_lo, jnp.int32),
+                    jax.lax.bitcast_convert_type(n_vn_hi, jnp.int32),
+                    n_sbs,
+                    n_send,
+                    n_e,
+                )
+                end_oh = oh & (en & vc)[None, :]
+                buf = tuple(
+                    jnp.where(end_oh, f[None, :], bf)
+                    for f, bf in zip(fields, buf)
+                )
+                min_oh = oh & vc[None, :]
+                nmin = jnp.where(
+                    min_oh, jnp.minimum(nmin, n_send[None, :]), nmin
+                )
+                n_slot = jnp.minimum(jnp.where(en, slot + 1, slot), Nm - 1)
+                n_off = jnp.where(en, 0, off + 1)
                 return (
                     (
                         (n_vp_lo, n_vp_hi, n_vn_lo, n_vn_hi, n_sbs, n_send, n_e),
                         buf,
                         nmin,
+                        n_slot,
+                        n_off,
+                        be_acc,
                     ),
-                    vals,
+                    fields,
                 )
 
-            init = (inf_col(), buf_init, jnp.full((B, Nm), INF, jnp.int32))
-            (_, buf, nmin), cols = jax.lax.scan(cell_step, init, cell_xs)
-            return cols, buf, nmin  # cols [Cm, B, 7]
+            init = (
+                inf_col(),
+                buf_init,
+                jnp.full((Nm, B), INF, jnp.int32),
+                jnp.zeros(B, jnp.int32),
+                jnp.zeros(B, jnp.int32),
+                jnp.zeros(B, bool),
+            )
+            (_, buf, nmin, _, _, be_acc), cols = jax.lax.scan(
+                cell_step, init, jax.lax.iota(jnp.int32, Cm), unroll=unroll
+            )
+            return cols, buf, nmin, be_acc  # cols: tuple of 7 [Cm, B]
 
-        inf_buf = jnp.broadcast_to(
-            jnp.stack(
-                [jnp.int32(v) for v in
-                 (-1, -1, 0, 0, int(INF), int(INF) + WORD_SIZE, 0)]
-            ),
-            (B, Nm, 7),
+        minus1 = jax.lax.bitcast_convert_type(ONES, jnp.int32)
+        inf_buf = (
+            jnp.full((Nm, B), minus1, jnp.int32),
+            jnp.full((Nm, B), minus1, jnp.int32),
+            jnp.zeros((Nm, B), jnp.int32),
+            jnp.zeros((Nm, B), jnp.int32),
+            jnp.full((Nm, B), INF, jnp.int32),
+            jnp.full((Nm, B), INF + WORD_SIZE, jnp.int32),
+            jnp.zeros((Nm, B), jnp.int32),
         )
-        cols, buf, nmin = cell_pass(inf_buf)
+        cols, buf, nmin, back_edge = cell_pass(inf_buf)
 
-        # bounded fixpoint for cyclic bands: back edge = pred slot >= own slot
-        back_edge = jnp.any(
-            pred_valid & (pred_slot >= cell_slot[:, :, None]), axis=(1, 2)
-        )  # [B]
-
+        # bounded fixpoint for cyclic bands (back edge = an in-band
+        # predecessor at a topo slot >= the node's own, accumulated by
+        # cell_pass)
         def fix_cond(st):
             return st[3] & (st[5] < P_fix)
 
         def fix_body(st):
             cols0, buf0, nmin0, _, lane_ch, it = st
-            cols1, buf1, nmin1 = cell_pass(buf0)
-            lane_changed = jnp.any(cols1 != cols0, axis=(0, 2)) & back_edge
+            cols1, buf1, nmin1, _ = cell_pass(buf0)
+            diff = jnp.zeros(B, bool)
+            for a, b in zip(cols1, cols0):
+                diff = diff | jnp.any(a != b, axis=0)
+            lane_changed = diff & back_edge
             return (cols1, buf1, nmin1, jnp.any(lane_changed), lane_changed, it + 1)
 
         cols, buf, nmin, still, lane_ch, fx = jax.lax.while_loop(
@@ -562,14 +580,13 @@ def _banded_scan(
         )
         fix_fail = lane_ch & still  # per-lane: hit the cap while changing
 
-        sends = cols[:, :, 5].T  # [B, Cm]
-        node_end = buf[:, :, 5]  # [B, Nm]
-        min_score = jnp.min(jnp.where(valid_slot, nmin, INF), axis=1)  # [B]
+        sends = cols[5]  # [Cm, B]
+        node_end = buf[5]  # [Nm, B]
+        min_score = jnp.min(jnp.where(valid_slot, nmin, INF), axis=0)  # [B]
         overflow = proj_over | cell_over | fix_fail
 
         def upd(new, old):
-            br = active.reshape((B,) + (1,) * (new.ndim - 1))
-            return jnp.where(br, new, old)
+            return jnp.where(active[None, :] if new.ndim == 2 else active, new, old)
 
         n_carry = (
             upd(ids, p_ids),
@@ -578,31 +595,39 @@ def _banded_scan(
             upd(node_end, p_node_end),
             upd(min_score, p_min),
         )
+        am2 = active[None, :]
         ys = (
-            jnp.where(active[:, None], ids, EMPTY),
-            jnp.where(active[:, None], nmin, INF),
-            jnp.where(active[:, None], node_end, INF),
+            jnp.where(am2, ids, EMPTY),
+            jnp.where(am2, nmin, INF),
+            jnp.where(am2, node_end, INF),
             jnp.where(active, min_score, INF),
             jnp.where(active, jnp.minimum(c_used, Cm), 0),
             overflow & active,
-            jnp.where(active[None, :, None], cols, 0),
-            jnp.where(active[:, None], sends, INF),
+            tuple(jnp.where(am2, c, 0) for c in cols),
+            jnp.where(am2, sends, INF),
         )
         return n_carry, ys
 
     xs = (bandwidth, jax.lax.iota(jnp.int32, S_max))
-    carry0 = (init_ids, init_cell_send, init_node_min, init_node_end, init_min)
+    carry0 = (
+        init_ids.T,
+        init_cell_send.T,
+        init_node_min.T,
+        init_node_end.T,
+        init_min,
+    )
     _, ys = jax.lax.scan(slice_step, carry0, xs)
     band_ids, node_min, node_end, min_score, num_cells, overflow, cols, sends = ys
     return {
-        "band_ids": band_ids,  # [S, B, Nm]
-        "node_min": node_min,  # [S, B, Nm]
-        "node_end": node_end,  # [S, B, Nm] last cell's last-row score
+        "band_ids": band_ids,  # [S, Nm, B]
+        "node_min": node_min,  # [S, Nm, B]
+        "node_end": node_end,  # [S, Nm, B] last cell's last-row score
         "min_score": min_score,  # [S, B]
         "num_cells": num_cells,  # [S, B]
         "overflow": overflow,  # [S, B]
-        "cols": cols,  # [S, Cm, B, 7]: vp_lo vp_hi vn_lo vn_hi sbs send e
-        "sends": sends,  # [S, B, Cm] per-cell last-row scores
+        # [S, 7, Cm, B]: vp_lo vp_hi vn_lo vn_hi sbs send e
+        "cols": __import__("jax").numpy.stack(cols, axis=1),
+        "sends": sends,  # [S, Cm, B] per-cell last-row scores
     }
 
 

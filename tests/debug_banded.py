@@ -116,7 +116,7 @@ def main():
                 print(f"[{name}] slice {s}: OVERFLOW flagged")
                 nfail += 1
                 break
-            dev_ids = out["band_ids"][s, i]
+            dev_ids = out["band_ids"][s, :, i]
             dev_ids = sorted(int(x) for x in dev_ids if x != EMPTY)
             oset = sorted(osl.rows.keys())
             if dev_ids != oset:
@@ -139,7 +139,7 @@ def main():
             order = np.argsort(tables.topo_rank[np.array(dev_ids)])
             nodes_sorted = [dev_ids[j] for j in order]
             c = 0
-            cols = out["cols"][s, :, i]  # [Cm, 7]
+            cols = out["cols"][s, :, :, i].T  # [Cm, 7]
             bad = False
             for n in nodes_sorted:
                 L = int(graph.node_len[n])

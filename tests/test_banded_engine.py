@@ -100,13 +100,13 @@ def test_device_slices_match_oracle(sim):
         oracle = _oracle_slices(graph, seq, node, bandwidth, int(steps[i]))
         for s, osl in enumerate(oracle):
             ids = np.array(
-                sorted(int(x) for x in out["band_ids"][s, i] if x != EMPTY)
+                sorted(int(x) for x in out["band_ids"][s, :, i] if x != EMPTY)
             )
             assert sorted(osl.rows.keys()) == list(ids)
             assert int(out["min_score"][s, i]) == osl.min_score
             assert int(out["num_cells"][s, i]) == osl.num_cells
             order = ids[np.argsort(tables.topo_rank[ids])]
-            cols = out["cols"][s, :, i]
+            cols = out["cols"][s, :, :, i].T
             c = 0
             for n in order:
                 L = int(graph.node_len[n])
