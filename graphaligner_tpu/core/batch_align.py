@@ -190,6 +190,9 @@ class BandedBatchAligner:
         self.Nm = Nm
         self.Cm = Cm
         self.max_rounds = max_rounds
+        from .trace_ops import build_reverse_pos
+
+        self.rev_pos = build_reverse_pos(graph)
         self._dev_args = None
 
     def _device_args(self):
@@ -344,17 +347,13 @@ class BandedBatchAligner:
                 continue
             rows = trace[:, 1, i]
             n = int(np.argmax(rows == -2)) if (rows == -2).any() else len(rows)
-            steps = list(zip(trace[:n, 0, i].tolist(), rows[:n].tolist()))
-            if not steps or steps[-1][1] != -1:
+            arr = np.stack([trace[:n, 0, i], rows[:n]], axis=1).astype(np.int64)
+            if len(arr) < 2 or arr[-1, 1] != -1 or arr[-2, 1] != 0:
                 lane.failed = True
                 continue
-            steps.pop()
-            if not steps or steps[-1][1] != 0:
-                lane.failed = True
-                continue
-            steps.reverse()
+            arr = arr[-2::-1]  # drop the row -1 terminator, forward order
             score = lane.accepted[int(keeps[i]) - 1].min_score
-            results[i] = (score, steps, int(keeps[i]))
+            results[i] = (score, arr, int(keeps[i]))
         return results
 
     def _gather_final_sends(self, lanes, keeps):
@@ -774,16 +773,17 @@ def align_reads_seeded_batch(
     Returns {seq_id: AlignmentResult} identical to align_one_way_seeded."""
     import time as _time
 
+    from . import trace_ops
     from .align import (
-        _add_alignment_nodes,
-        _reverse_trace,
         get_piecewise_traces_from_split,
         get_split_alignment,
         get_trace_info,
         merge_alignments,
-        trace_to_alignment,
     )
-    from .result import AlignmentResult, empty_alignment
+    from .result import AlignmentResult, LazyTrace, empty_alignment
+
+    def as_arr(t):
+        return np.asarray(t, dtype=np.int64).reshape(-1, 2)
 
     INT_MAX = 2**62
 
@@ -863,36 +863,36 @@ def align_reads_seeded_batch(
                     aligner.initial_bandwidth,
                     aligner.ramp_bandwidth,
                 )
-                trace = get_piecewise_traces_from_split(graph, split, sequence)
+                (f_sc, f_tr), (b_sc, b_tr) = get_piecewise_traces_from_split(
+                    graph, split, sequence
+                )
+                trace = ((f_sc, as_arr(f_tr)), (b_sc, as_arr(b_tr)))
                 est = split.estimated_correctly_aligned()
             else:
                 # piecewise assembly on walked traces (reference
                 # getPiecewiseTracesFromSplit, GraphAligner.h:3040-3098)
-                fw = (0, [])
-                bw = (0, [])
+                fw = (0, np.zeros((0, 2), np.int64))
+                bw = (0, np.zeros((0, 2), np.int64))
                 keep_fw = keep_bw = 0
                 if fw_i is not None:
                     f_score, f_trace, keep_fw = walked[fw_i]
                     if keep_fw > 0:
-                        backtraceable = (
-                            len(sequence) - pos - graph.dbg_overlap
-                        )
-                        f_trace = list(f_trace)
-                        while f_trace and f_trace[-1][1] >= backtraceable:
-                            f_trace.pop()
-                        fw = (f_score, f_trace)
+                        backtraceable = len(sequence) - pos - graph.dbg_overlap
+                        fw = (f_score, trace_ops.trim_trace(f_trace, backtraceable))
                 if bw_i is not None:
                     b_score, b_trace, keep_bw = walked[bw_i]
                     if keep_bw > 0:
-                        b_trace = list(b_trace)
-                        while b_trace and b_trace[-1][1] >= pos:
-                            b_trace.pop()
-                        b_trace = _reverse_trace(graph, b_trace, pos - 1)
+                        b_trace = trace_ops.trim_trace(b_trace, pos)
+                        b_trace = trace_ops.reverse_trace(
+                            aligner.rev_pos, b_trace, pos - 1
+                        )
                         bw = (b_score, b_trace)
-                        fw = (fw[0], [(w, r + pos) for (w, r) in fw[1]])
+                        f_shift = fw[1].copy()
+                        f_shift[:, 1] += pos
+                        fw = (fw[0], f_shift)
                 trace = (fw, bw)
                 est = (keep_fw + keep_bw) * WORD_SIZE
-            _add_alignment_nodes(graph, s["tried"], trace)
+            trace_ops.add_alignment_nodes(graph, s["tried"], trace)
             if s["best"] is None or est > s["best"][0]:
                 s["best"] = (est, trace, seed)
         active = [s for s in active if s["cursor"] < len(s["seeds"])]
@@ -910,15 +910,23 @@ def align_reads_seeded_batch(
         if fw_score >= INT_MAX and bw_score >= INT_MAX:
             results[seq_id] = empty_alignment(elapsed, 0)
             continue
-        trace_vector = get_trace_info(graph, sequence, bw_trace, fw_trace)
-        fwresult = trace_to_alignment(graph, seq_id, sequence, fw_score, fw_trace, 0)
-        bwresult = trace_to_alignment(graph, seq_id, sequence, bw_score, bw_trace, 0)
+        trace_vector = LazyTrace(
+            lambda g=graph, sq=sequence, b=bw_trace, f=fw_trace: get_trace_info(
+                g, sq, [tuple(x) for x in b], [tuple(x) for x in f]
+            )
+        )
+        fwresult = trace_ops.trace_to_alignment(
+            graph, seq_id, sequence, fw_score, fw_trace, 0
+        )
+        bwresult = trace_ops.trace_to_alignment(
+            graph, seq_id, sequence, bw_score, bw_trace, 0
+        )
         if fwresult.alignment_failed and bwresult.alignment_failed:
             results[seq_id] = empty_alignment(elapsed, 0)
             continue
         result = merge_alignments(graph, bwresult, fwresult)
         result.trace = trace_vector
-        last_aligned = bw_trace[0][1] if bw_trace else best_seed[1]
+        last_aligned = int(bw_trace[0][1]) if len(bw_trace) else best_seed[1]
         result.alignment.query_position = last_aligned
         result.alignment_start = last_aligned
         result.alignment_end = result.alignment_start + est

@@ -52,11 +52,18 @@ for _c, _i in _READ_CODE.items():
         _MATCH_TABLE[_i, _g] = _base in IUPAC_MATCHES[_c]
 
 
+_ENCODE_LUT = np.full(256, 255, dtype=np.uint8)
+for _c, _i in _READ_CODE.items():
+    _ENCODE_LUT[ord(_c)] = _i
+    _ENCODE_LUT[ord(_c.lower())] = _i
+
+
 def encode_read(sequence: str) -> np.ndarray:
-    try:
-        return np.array([_READ_CODE[c.upper()] for c in sequence], dtype=np.uint8)
-    except KeyError as e:
-        raise ValueError(f"unsupported read character {e.args[0]!r}") from None
+    codes = _ENCODE_LUT[np.frombuffer(sequence.encode("latin-1"), np.uint8)]
+    if codes.max(initial=0) == 255:
+        bad = sequence[int(np.argmax(codes == 255))]
+        raise ValueError(f"unsupported read character {bad!r}")
+    return codes
 
 
 @dataclass

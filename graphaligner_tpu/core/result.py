@@ -29,6 +29,38 @@ class TraceItem:
     read_char: str
 
 
+class LazyTrace(list):
+    """Trace-item list materialized on first access — the per-step
+    TraceItem construction (getTraceInfo, GraphAligner.h:690-780) costs
+    ~1ms/read in Python, and is only needed when trace files are
+    actually written."""
+
+    def __init__(self, thunk):
+        super().__init__()
+        self._thunk = thunk
+
+    def _materialize(self):
+        if self._thunk is not None:
+            self.extend(self._thunk())
+            self._thunk = None
+
+    def __iter__(self):
+        self._materialize()
+        return super().__iter__()
+
+    def __len__(self):
+        self._materialize()
+        return super().__len__()
+
+    def __getitem__(self, i):
+        self._materialize()
+        return super().__getitem__(i)
+
+    def __bool__(self):
+        self._materialize()
+        return super().__len__() > 0
+
+
 @dataclass
 class AlignmentResult:
     alignment: vg.Alignment = field(default_factory=vg.Alignment)

@@ -1,0 +1,146 @@
+"""Vectorized host-side trace post-processing for the batched pipeline.
+
+The reference's trace handling (reverseTrace GraphAligner.h:3026-3038,
+addAlignmentNodes 593-633, traceToAlignment 782-847) walks the trace one
+(graph position, read row) step at a time — ~600 Python-level iterations
+per read in the straight port (core.align). The batched pipeline keeps
+traces as [n, 2] int64 numpy arrays end-to-end and reduces everything to
+node-run boundary arithmetic: per-read cost drops from O(trace steps) to
+O(node runs) Python operations (~30).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..graph.alignment_graph import AlignmentGraph
+from ..io import vg
+from .result import INT32_MAX, AlignmentResult, empty_alignment
+
+INT_MAX = 2**62
+
+
+def build_reverse_pos(graph: AlignmentGraph) -> np.ndarray:
+    """pos -> reverse-complement strand position lookup ([BP] int64)
+    (vectorized AlignmentGraph.get_reverse_position: fw/rc nodes pair by
+    digraph node *id* xor 1, resolved through node_lookup)."""
+    def safe_rev(n):
+        try:
+            return graph.get_reverse_node(n)
+        except KeyError:
+            return n  # dummy start/end have no paired node
+
+    rev_node = np.array(
+        [safe_rev(n) for n in range(graph.node_count)], dtype=np.int64
+    )
+    node = graph.pos_to_node
+    other = rev_node[node]
+    pos = np.arange(len(node), dtype=np.int64)
+    return (graph.node_end[other] - 1) - (pos - graph.node_start[node])
+
+
+def trim_trace(trace: np.ndarray, limit_row: int) -> np.ndarray:
+    """Drop trailing entries with read row >= limit_row (rows are
+    non-decreasing in a forward trace)."""
+    if len(trace) == 0:
+        return trace
+    n = int(np.searchsorted(trace[:, 1], limit_row, side="left"))
+    return trace[:n]
+
+def reverse_trace(rev_pos: np.ndarray, trace: np.ndarray, end: int) -> np.ndarray:
+    """Map a backward trace to forward coordinates (reference
+    reverseTrace, GraphAligner.h:3026-3038)."""
+    if len(trace) == 0:
+        return trace
+    out = np.empty_like(trace)
+    out[:, 0] = rev_pos[trace[::-1, 0]]
+    out[:, 1] = end - trace[::-1, 1]
+    return out
+
+
+def trace_node_runs(graph: AlignmentGraph, trace: np.ndarray):
+    """(run start indices, run node ids) of consecutive same-node runs."""
+    nodes = graph.pos_to_node[trace[:, 0]]
+    starts = np.concatenate([[0], np.nonzero(np.diff(nodes))[0] + 1])
+    return starts, nodes[starts]
+
+
+def add_alignment_nodes(graph: AlignmentGraph, tried: list, traces) -> None:
+    """Record per-node read intervals of fw/bw traces (reference
+    addAlignmentNodes, GraphAligner.h:593-633)."""
+    for _, t in traces:
+        if len(t) == 0:
+            continue
+        starts, nodes = trace_node_runs(graph, t)
+        ends = np.concatenate([starts[1:], [len(t)]]) - 1
+        for s, e, n in zip(starts, ends, nodes):
+            tried.append((int(t[s, 1]), int(t[e, 1]), int(n)))
+
+
+def trace_to_alignment(
+    graph: AlignmentGraph,
+    seq_id: str,
+    sequence: str,
+    score: int,
+    trace: np.ndarray,
+    cells_processed: int,
+) -> AlignmentResult:
+    """Array-based traceToAlignment (GraphAligner.h:782-847), including
+    the reference's missing +1 on the final edit's from_length."""
+    aln = vg.Alignment(name=seq_id, score=score, sequence=sequence, path=vg.Path())
+    if len(trace) == 0:
+        return AlignmentResult(aln, True, cells_processed, INT_MAX)
+    starts, nodes = trace_node_runs(graph, trace)
+    ends = np.concatenate([starts[1:], [len(trace)]]) - 1
+    # skip leading dummy-start runs (the walk can begin on the dummy)
+    k = 0
+    while k < len(nodes) and nodes[k] == graph.dummy_node_start:
+        k += 1
+    if k == len(nodes):
+        return empty_alignment(INT_MAX, cells_processed)
+    if nodes[k] == graph.dummy_node_end:
+        return empty_alignment(INT_MAX, cells_processed)
+    # truncate at the dummy end node
+    stop = len(nodes)
+    for j in range(k, len(nodes)):
+        if nodes[j] == graph.dummy_node_end:
+            stop = j
+            break
+    runs = list(range(k, stop))
+    first = runs[0]
+    mapping = vg.Mapping(
+        position=vg.Position(
+            node_id=int(graph.node_ids[nodes[first]]),
+            is_reverse=bool(graph.reverse[nodes[first]]),
+            offset=int(trace[starts[first], 0] - graph.node_start[nodes[first]]),
+        ),
+        rank=0,
+    )
+    aln.path.mapping.append(mapping)
+    bt_before_row = int(trace[starts[first], 1])
+    for idx, run in enumerate(runs):
+        s, e = starts[run], ends[run]
+        last = idx == len(runs) - 1
+        w_start, w_end = int(trace[s, 0]), int(trace[e, 0])
+        r_end = int(trace[e, 1])
+        from_len = w_end - w_start + (0 if last else 1)
+        to_len = r_end - bt_before_row
+        mapping.edit.append(
+            vg.Edit(
+                from_length=from_len,
+                to_length=to_len,
+                sequence=sequence[int(trace[s, 1]) : int(trace[s, 1]) + to_len],
+            )
+        )
+        if not last:
+            nxt = runs[idx + 1]
+            bt_before_row = r_end
+            mapping = vg.Mapping(
+                position=vg.Position(
+                    node_id=int(graph.node_ids[nodes[nxt]]),
+                    is_reverse=bool(graph.reverse[nodes[nxt]]),
+                ),
+                rank=idx + 1,
+            )
+            aln.path.mapping.append(mapping)
+    return AlignmentResult(aln, False, cells_processed, INT_MAX)
