@@ -122,13 +122,22 @@ def build_graph_tables(graph: AlignmentGraph) -> BandedGraphTables:
 _JIT_CACHE: dict = {}
 
 
-def banded_scan(*args, S_max, Nm, Cm, I_proj=32, P_fix=16, unroll=1):
+def banded_scan(
+    *args, S_max, Nm, Cm, I_proj=32, P_fix=16, unroll=1, use_pallas=None
+):
+    import jax
+
     B = args[6].shape[0]
-    key = (S_max, Nm, Cm, I_proj, P_fix, B, unroll)
+    K_in = args[3].shape[1]
+    if use_pallas is None:
+        # the Pallas kernel needs a real TPU (Mosaic) backend; metadata
+        # packing limits: 5-bit slots, 5 predecessor slots per word
+        use_pallas = (
+            jax.default_backend() != "cpu" and Nm <= 32 and K_in <= 5
+        )
+    key = (S_max, Nm, Cm, I_proj, P_fix, B, unroll, use_pallas)
     fn = _JIT_CACHE.get(key)
     if fn is None:
-        import jax
-
         fn = jax.jit(
             functools.partial(
                 _banded_scan,
@@ -138,6 +147,7 @@ def banded_scan(*args, S_max, Nm, Cm, I_proj=32, P_fix=16, unroll=1):
                 I_proj=I_proj,
                 P_fix=P_fix,
                 unroll=unroll,
+                use_pallas=use_pallas,
             )
         )
         _JIT_CACHE[key] = fn
@@ -172,6 +182,7 @@ def _banded_scan(
     I_proj: int = 32,
     P_fix: int = 16,
     unroll: int = 1,
+    use_pallas: bool = False,
 ):
     """All internal arrays are laid out with the batch as the LAST axis
     ([Nm, B], [Cm, B], [K, Cm, B]) and per-field (never a trailing
@@ -373,7 +384,100 @@ def _banded_scan(
                 jnp.zeros(B, jnp.int32),
             )
 
-        def cell_pass(buf_init):
+        def layout_scan():
+            """Cheap per-cell metadata walk: packs slot/flags/code into
+            meta words for the Pallas kernel (same slot/off advance as
+            the XLA cell pass, none of the DP)."""
+
+            def step(carry, c):
+                slot, off, be = carry
+                oh = iota_nm[:, None] == slot[None, :]
+
+                def rd(tab, fill=0):
+                    return jnp.sum(jnp.where(oh, tab, 0), axis=0) + jnp.where(
+                        jnp.any(oh, axis=0), 0, fill
+                    )
+
+                len_s = rd(lens)
+                vc = (c < c_used) & (len_s > 0)
+                st = (off == 0) & vc
+                en = (off == len_s - 1) & vc
+                inprev = rd(node_in_prev.astype(jnp.int32)) == 1
+                pos = jnp.clip(rd(starts_tab) + off, 0, seq_codes.shape[0] - 1)
+                code = jnp.where(vc, seq_codes[pos], 4)
+                old_idx = jnp.clip(rd(prev_base) + off, 0, Cm - 1)
+                oe = jnp.where(
+                    inprev & vc,
+                    jnp.take_along_axis(p_cell_send, old_idx[None, :], axis=0)[0],
+                    INF,
+                )
+                ps = jnp.where(st, rd(slot_pseudo, INF), INF)
+                srcnp = st & (rd(src_noprev_slot.astype(jnp.int32)) == 1)
+                srcsm = st & (rd(src_sm_slot.astype(jnp.int32)) == 1)
+                meta1 = (
+                    slot
+                    | (st.astype(jnp.int32) << 8)
+                    | (en.astype(jnp.int32) << 9)
+                    | (vc.astype(jnp.int32) << 10)
+                    | (inprev.astype(jnp.int32) << 11)
+                    | (code << 12)
+                    | (srcnp.astype(jnp.int32) << 15)
+                    | (srcsm.astype(jnp.int32) << 16)
+                )
+                meta2 = jnp.zeros(B, jnp.int32)
+                for k in range(K_in):
+                    pslot_k = rd(nb_cur_slot[k])
+                    pvalid_k = st & (rd(nb_in_cur[k].astype(jnp.int32)) == 1)
+                    be = be | (pvalid_k & (pslot_k >= slot))
+                    meta2 = meta2 | (
+                        (pslot_k | (pvalid_k.astype(jnp.int32) << 5)) << (6 * k)
+                    )
+                n_slot = jnp.minimum(jnp.where(en, slot + 1, slot), Nm - 1)
+                n_off = jnp.where(en, 0, off + 1)
+                return (n_slot, n_off, be), (meta1, meta2, oe, ps)
+
+            init = (
+                jnp.zeros(B, jnp.int32),
+                jnp.zeros(B, jnp.int32),
+                jnp.zeros(B, bool),
+            )
+            (_, _, be), (m1, m2, oe, ps) = jax.lax.scan(
+                step, init, jax.lax.iota(jnp.int32, Cm)
+            )
+            return m1, m2, oe, ps, be
+
+        if use_pallas:
+            from ..ops.pallas.banded_cell import banded_cell_kernel
+
+            m1, m2, oe_arr, ps_arr, pre_back_edge = layout_scan()
+            eq_lo_tab = jax.lax.bitcast_convert_type(
+                jnp.stack(eq_lo_codes, axis=0), jnp.int32
+            )
+            eq_hi_tab = jax.lax.bitcast_convert_type(
+                jnp.stack(eq_hi_codes, axis=0), jnp.int32
+            )
+
+            def cell_pass(buf_init):
+                cols, buf, nmin = banded_cell_kernel(
+                    m1,
+                    m2,
+                    oe_arr,
+                    ps_arr,
+                    eq_lo_tab,
+                    eq_hi_tab,
+                    seq_len[None, :],
+                    jnp.stack(buf_init, axis=0),
+                    K_in=K_in,
+                    Bb=min(256, B),
+                )
+                return (
+                    tuple(cols[f] for f in range(7)),
+                    tuple(buf[f] for f in range(7)),
+                    nmin,
+                    pre_back_edge,
+                )
+
+        def cell_pass_xla(buf_init):
             # buf: tuple of 7 [Nm, B] arrays (int32-encoded fields)
             def cell_step(ccarry, c):
                 col, buf, nmin, slot, off, be_acc = ccarry
@@ -545,6 +649,9 @@ def _banded_scan(
                 cell_step, init, jax.lax.iota(jnp.int32, Cm), unroll=unroll
             )
             return cols, buf, nmin, be_acc  # cols: tuple of 7 [Cm, B]
+
+        if not use_pallas:
+            cell_pass = cell_pass_xla
 
         minus1 = jax.lax.bitcast_convert_type(ONES, jnp.int32)
         inf_buf = (
