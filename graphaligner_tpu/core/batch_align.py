@@ -70,6 +70,8 @@ class _Round:
     overflow: np.ndarray  # [S, B]
     cols_dev: object  # [S, 7, Cm, B] — stays in device HBM
     sends_dev: object  # [S, Cm, B] — stays in device HBM
+    lens_tab: np.ndarray = None  # [S, Nm, B]
+    pred_tab: np.ndarray = None  # [S, Nm, B] packed (slot|valid<<5)<<6k
 
 
 @dataclass
@@ -278,8 +280,6 @@ class BandedBatchAligner:
         return self._walk_lanes(problems, lanes)
 
     def _walk_lanes(self, problems, lanes):
-        from .backtrace_device import walk_batch
-
         INT_MAX = 2**62
         B = len(lanes)
         results: list = [None] * B
@@ -319,11 +319,31 @@ class BandedBatchAligner:
             for i in walk_idx:
                 lanes[i].failed = True
             return results
-        for i, w0 in zip(walk_idx, starts):
-            starts_w[i] = w0
+        import jax
+
+        from ..io import native
 
         K_max = int(max(keeps[i] for i in walk_idx))
-        cols_tab, band_tab = self._consolidate(lanes, keeps, K_max)
+        use_moves = (
+            jax.default_backend() != "cpu"
+            and self.tables.k_in <= 4
+            and self.Nm <= 32
+            and native.get_lib() is not None
+        )
+        if use_moves:
+            self._walk_moves(problems, lanes, keeps, walk_idx, starts, results, K_max)
+        else:
+            self._walk_xla(problems, lanes, keeps, walk_idx, starts, results, K_max)
+        return results
+
+    def _walk_xla(self, problems, lanes, keeps, walk_idx, starts, results, K_max):
+        from .backtrace_device import walk_batch
+
+        B = len(lanes)
+        starts_w = np.zeros(B, dtype=np.int32)
+        for i, (w0, _, _) in zip(walk_idx, starts):
+            starts_w[i] = w0
+        cols_tab, band_tab = self._consolidate(lanes, keeps, K_max, "flat")
         assert cols_tab is not None
         T_max = K_max * 80 + WORD_SIZE
         seed_nodes = np.array([p[1] for p in problems], dtype=np.int32)
@@ -354,7 +374,105 @@ class BandedBatchAligner:
             arr = arr[-2::-1]  # drop the row -1 terminator, forward order
             score = lane.accepted[int(keeps[i]) - 1].min_score
             results[i] = (score, arr, int(keeps[i]))
-        return results
+
+    def _walk_moves(self, problems, lanes, keeps, walk_idx, starts, results, K_max):
+        """Move-encoded Pallas walk + native C++ decode: ~6KB of 4-bit
+        move codes per 10kb read across the remote-TPU link instead of
+        ~100KB of (position, row) pairs."""
+        from ..io import native
+        from ..ops.pallas import walk_moves as wm
+
+        B = len(lanes)
+        cols_tab, band_tab, lens_tab, pred_tab = self._consolidate(
+            lanes, keeps, K_max, "perslice"
+        )
+        # pad the batch to a 128-lane multiple for the kernel
+        import jax.numpy as jnp
+
+        Bp = max(128, -(-B // 128) * 128)
+        if Bp != B:
+            cols_tab = jnp.pad(cols_tab, ((0, 0),) * 3 + ((0, Bp - B),))
+            band_tab = np.pad(
+                band_tab, ((0, 0), (0, 0), (0, Bp - B)), constant_values=int(EMPTY)
+            )
+            lens_tab = np.pad(lens_tab, ((0, 0), (0, 0), (0, Bp - B)))
+            pred_tab = np.pad(pred_tab, ((0, 0), (0, 0), (0, Bp - B)))
+        from .backtrace_device import _BT_MATCH
+
+        bits_lut = np.zeros(_BT_MATCH.shape[0], dtype=np.int32)
+        for g in range(5):
+            bits_lut |= _BT_MATCH[:, g].astype(np.int32) << g
+        L = K_max * WORD_SIZE
+        codes = self._codes[:, :L]
+        if codes.shape[1] < L:
+            codes = np.pad(codes, ((0, 0), (0, L - codes.shape[1])))
+        mtab = (
+            bits_lut[codes].reshape(B, K_max, WORD_SIZE).transpose(1, 2, 0)
+        ).astype(np.int32)
+        if Bp != B:
+            mtab = np.pad(mtab, ((0, 0), (0, 0), (0, Bp - B)))
+
+        def row1(a):
+            a = np.ascontiguousarray(a, dtype=np.int32)
+            if Bp != len(a):
+                a = np.pad(a, (0, Bp - len(a)))
+            return a[None, :]
+        sslot = np.zeros(B, np.int32)
+        soff = np.zeros(B, np.int32)
+        sscore = np.zeros(B, np.int32)
+        sw = np.zeros(B, np.int64)
+        for i, (w0, slot0, off0) in zip(walk_idx, starts):
+            sslot[i] = slot0
+            soff[i] = off0
+            sw[i] = w0
+            sscore[i] = lanes[i].accepted[int(keeps[i]) - 1].min_score
+        seed_nodes = np.array([p[1] for p in problems], dtype=np.int32)
+        moves_dev, fail_dev = wm.walk_moves(
+            cols_tab,
+            band_tab,
+            lens_tab,
+            pred_tab,
+            mtab,
+            row1(self._seq_lens),
+            row1(seed_nodes),
+            row1(sslot),
+            row1(soff),
+            row1(sscore),
+            row1(keeps),
+            K_in=self.tables.k_in,
+        )
+        moves = np.ascontiguousarray(np.asarray(moves_dev)).view(np.uint32)
+        fail = np.asarray(fail_dev)[0]
+        t = self.tables
+        node_start64 = np.ascontiguousarray(self.graph.node_start, dtype=np.int64)
+        node_end64 = np.ascontiguousarray(self.graph.node_end, dtype=np.int64)
+        pos2node = np.ascontiguousarray(t.pos_to_node)
+        in_nbrs = np.ascontiguousarray(t.in_nbrs)
+        cap = K_max * WORD_SIZE * 3 + 64
+        for i in walk_idx:
+            lane = lanes[i]
+            if fail[i]:
+                lane.failed = True
+                continue
+            try:
+                arr = native.decode_moves(
+                    moves[:, i],
+                    int(sw[i]),
+                    int(keeps[i]) * WORD_SIZE - 1,
+                    node_start64,
+                    node_end64,
+                    pos2node,
+                    in_nbrs,
+                    cap,
+                )
+            except ValueError:
+                lane.failed = True
+                continue
+            if arr is None or len(arr) < 1 or arr[0, 1] != 0:
+                lane.failed = True
+                continue
+            score = lane.accepted[int(keeps[i]) - 1].min_score
+            results[i] = (score, arr, int(keeps[i]))
 
     def _gather_final_sends(self, lanes, keeps):
         """One batched device gather + fetch of every walk lane's final
@@ -399,10 +517,23 @@ class BandedBatchAligner:
             lane = lanes[i]
             keep = int(keeps[i])
             accepted = lane.accepted[:keep]
-            orders = self._band_orders(problems[i][1], accepted, lane.bandwidths[:keep])
             rec = accepted[-1]
-            order = orders[-1]
             sends = final_sends[i]
+            ids = rec.band_ids()
+            order2, lens2, offs2 = _cell_layout(self.tables, ids)
+            c_used = int(lens2.sum())
+            best = rec.min_score
+            hits = np.nonzero(sends[:c_used] == best)[0]
+            if len(hits) == 1:
+                # unique minimum: the Tarjan collection order
+                # (GraphAligner.h:2359-2366) is tie-breaking only
+                cell = int(hits[0])
+                slot = int(np.searchsorted(offs2, cell, side="right")) - 1
+                off = cell - int(offs2[slot])
+                starts.append((int(g.node_start[order2[slot]]) + off, slot, off))
+                continue
+            orders = self._band_orders(problems[i][1], accepted, lane.bandwidths[:keep])
+            order = orders[-1]
             o2, l2, f2 = _cell_layout(self.tables, rec.band_ids())
             cell_of = {int(n): (int(f), int(L)) for n, f, L in zip(o2, f2, l2)}
             best = rec.min_score
@@ -418,13 +549,16 @@ class BandedBatchAligner:
                             if seg[k] == best:
                                 last = startp + k
             assert last is not None
-            starts.append(last)
+            node = int(g.pos_to_node[last])
+            slot = int(np.nonzero(order2 == node)[0][0])
+            starts.append((last, slot, last - int(g.node_start[node])))
         return starts
 
-    def _consolidate(self, lanes, keeps, K_max):
-        """Build [K_max, B, Cm, 7] cols + [K_max, B, Nm] band tensors for
-        the walk, gathering per-lane table slices from each round's
-        device-resident outputs."""
+    def _consolidate(self, lanes, keeps, K_max, layout):
+        """Gather per-lane table slices from each round's device-resident
+        outputs. layout 'flat' -> (cols [7, B, K*Cm], band [K, Nm, B]) for
+        the XLA walk; 'perslice' -> (cols [K, 7, Cm, B], band, lens, pred
+        tabs [K, Nm, B]) for the Pallas move-walk kernel."""
         import jax.numpy as jnp
 
         B = len(lanes)
@@ -434,6 +568,8 @@ class BandedBatchAligner:
                 if rec.rnd not in rounds:
                     rounds.append(rec.rnd)
         band_tab = np.full((K_max, self.Nm, B), int(EMPTY), dtype=np.int32)
+        lens_tab = np.zeros((K_max, self.Nm, B), dtype=np.int32)
+        pred_tab = np.zeros((K_max, self.Nm, B), dtype=np.int32)
         cols_tab = None
         for rnd in rounds:
             steps = np.zeros((K_max, B), dtype=np.int32)
@@ -445,9 +581,10 @@ class BandedBatchAligner:
                     if rec.rnd is rnd:
                         steps[k, i] = rec.step
                         mask[k, i] = True
-                        band_tab[k, :, i] = rnd.band_ids[
-                            rec.step, :, rec.lane_in_round
-                        ]
+                        lr = rec.lane_in_round
+                        band_tab[k, :, i] = rnd.band_ids[rec.step, :, lr]
+                        lens_tab[k, :, i] = rnd.lens_tab[rec.step, :, lr]
+                        pred_tab[k, :, i] = rnd.pred_tab[rec.step, :, lr]
             # map batch lanes: lane i occupies rec.lane_in_round in rnd
             lane_pos = np.zeros(B, dtype=np.int32)
             for i, lane in enumerate(lanes):
@@ -455,17 +592,23 @@ class BandedBatchAligner:
                     if rec.rnd is rnd:
                         lane_pos[i] = rec.lane_in_round
                         break
-            # cols_dev [S, 7, Cm, Br] -> [S, 7, B, Cm] -> gather K -> walk
-            # layout [7, B, K_max, Cm]
             src = rnd.cols_dev[:, :, :, lane_pos]  # [S, 7, Cm, B]
-            src = jnp.transpose(src, (0, 1, 3, 2))  # [S, 7, B, Cm]
-            g = jnp.take_along_axis(
-                src, jnp.asarray(steps)[:, None, :, None], axis=0
-            )  # [K_max, 7, B, Cm]
-            m = jnp.asarray(mask)[:, None, :, None]
+            if layout == "perslice":
+                g = jnp.take_along_axis(
+                    src, jnp.asarray(steps)[:, None, None, :], axis=0
+                )  # [K_max, 7, Cm, B]
+                m = jnp.asarray(mask)[:, None, None, :]
+            else:
+                src = jnp.transpose(src, (0, 1, 3, 2))  # [S, 7, B, Cm]
+                g = jnp.take_along_axis(
+                    src, jnp.asarray(steps)[:, None, :, None], axis=0
+                )  # [K_max, 7, B, Cm]
+                m = jnp.asarray(mask)[:, None, :, None]
             cols_tab = (
                 jnp.where(m, g, 0) if cols_tab is None else jnp.where(m, g, cols_tab)
             )
+        if layout == "perslice":
+            return cols_tab, band_tab, lens_tab, pred_tab
         cols_tab = jnp.transpose(cols_tab, (1, 2, 0, 3)).reshape(
             7, B, K_max * cols_tab.shape[3]
         )
@@ -546,6 +689,8 @@ class BandedBatchAligner:
             overflow=np.asarray(out["overflow"]),
             cols_dev=out["cols"],
             sends_dev=out["sends"],
+            lens_tab=np.asarray(out["lens_tab"]),
+            pred_tab=np.asarray(out["pred_tab"]),
         )
         rnd._bw = bw
         rnd._carry_from = [r[2] for r in requests]
@@ -723,7 +868,7 @@ class BandedBatchAligner:
             n = int(n)
             rows_d[n] = rows
             sbs_d[n] = seg[:, 4].astype(np.int64)
-            sbs_e[n] = seg[:, 6].astype(bool)
+            sbs_e[n] = (seg[:, 6] & 1).astype(bool)
             ee[n] = np.ones(L, dtype=bool)
             node_min[n] = int(rows[WORD_SIZE - 1].min())
         min_index = []

@@ -351,6 +351,12 @@ def _banded_scan(
         band_source = ~any_banded & valid_slot
         src_noprev_slot = band_source & ~node_in_prev
         src_sm_slot = band_source & node_in_prev & (g_slice == 0)[None, :]
+        pred_tab = jnp.zeros((Nm, B), jnp.int32)
+        for k in range(K_in):
+            pred_tab = pred_tab | (
+                (nb_cur_slot[k] | (nb_in_cur[k].astype(jnp.int32) << 5))
+                << (6 * k)
+            )
 
         # ---- per-slice Eq words for the 5 graph codes ([5, B]) -------------
         rc_base = jnp.clip(g_slice * WORD_SIZE, 0, read_codes.shape[1] - WORD_SIZE)
@@ -519,7 +525,9 @@ def _banded_scan(
                 # within-node chain advance
                 r_chain = jnp.minimum(oe, sbs + 1)
                 hin = r_chain - sbs
-                eq_lo_c = jnp.where(e_prev == 1, eq_lo, eq_lo & ~jnp.uint32(1))
+                eq_lo_c = jnp.where(
+                    (e_prev & 1) == 1, eq_lo, eq_lo & ~jnp.uint32(1)
+                )
                 c_vp_lo, c_vp_hi, c_vn_lo, c_vn_hi, c_send = wordops.myers_advance(
                     eq_lo_c, eq_hi, vp_lo, vp_hi, vn_lo, vn_hi, send, hin
                 )
@@ -566,7 +574,9 @@ def _banded_scan(
                     g_vp_hi = jax.lax.bitcast_convert_type(g[1], jnp.uint32)
                     g_vn_lo = jax.lax.bitcast_convert_type(g[2], jnp.uint32)
                     g_vn_hi = jax.lax.bitcast_convert_type(g[3], jnp.uint32)
-                    eq_lo_k = jnp.where(g[6] == 1, eq_lo, eq_lo & ~jnp.uint32(1))
+                    eq_lo_k = jnp.where(
+                        (g[6] & 1) == 1, eq_lo, eq_lo & ~jnp.uint32(1)
+                    )
                     a_vp_lo, a_vp_hi, a_vn_lo, a_vn_hi, a_send = (
                         wordops.myers_advance(
                             eq_lo_k,
@@ -603,7 +613,11 @@ def _banded_scan(
                 n_send = jnp.where(
                     vc, jnp.where(st, s_send, c_send), INF + WORD_SIZE
                 )
-                n_e = (inprev & (n_sbs == oe) & vc).astype(jnp.int32)
+                # field 6: bit0 = scoreBeforeExists, bits 1-3 = cell's
+                # graph code (consumed by the backtrace walk kernel)
+                n_e = (inprev & (n_sbs == oe) & vc).astype(jnp.int32) | (
+                    code << 1
+                )
 
                 fields = (
                     jax.lax.bitcast_convert_type(n_vp_lo, jnp.int32),
@@ -712,6 +726,8 @@ def _banded_scan(
             overflow & active,
             tuple(jnp.where(am2, c, 0) for c in cols),
             jnp.where(am2, sends, INF),
+            jnp.where(am2, lens, 0),
+            jnp.where(am2, pred_tab, 0),
         )
         return n_carry, ys
 
@@ -724,7 +740,18 @@ def _banded_scan(
         init_min,
     )
     _, ys = jax.lax.scan(slice_step, carry0, xs)
-    band_ids, node_min, node_end, min_score, num_cells, overflow, cols, sends = ys
+    (
+        band_ids,
+        node_min,
+        node_end,
+        min_score,
+        num_cells,
+        overflow,
+        cols,
+        sends,
+        lens_tab,
+        pred_tab,
+    ) = ys
     return {
         "band_ids": band_ids,  # [S, Nm, B]
         "node_min": node_min,  # [S, Nm, B]
@@ -735,6 +762,8 @@ def _banded_scan(
         # [S, 7, Cm, B]: vp_lo vp_hi vn_lo vn_hi sbs send e
         "cols": __import__("jax").numpy.stack(cols, axis=1),
         "sends": sends,  # [S, Cm, B] per-cell last-row scores
+        "lens_tab": lens_tab,  # [S, Nm, B] per-slot node lengths
+        "pred_tab": pred_tab,  # [S, Nm, B] packed pred (slot|valid<<5)<<6k
     }
 
 

@@ -88,6 +88,21 @@ def get_lib():
         getattr(lib, name).restype = ctypes.POINTER(ctypes.c_uint8)
         getattr(lib, name).argtypes = [ctypes.c_void_p]
     lib.ga_gfa_destroy.argtypes = [ctypes.c_void_p]
+    lib.ga_decode_moves.restype = ctypes.c_int64
+    lib.ga_decode_moves.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     _lib = lib
     return _lib
 
@@ -196,3 +211,33 @@ def parse_gfa(data: bytes):
         return s_records, l_records
     finally:
         lib.ga_gfa_destroy(h)
+
+
+def decode_moves(moves, start_w, start_row, node_start, node_end, pos_to_node,
+                 in_nbrs, cap):
+    """Decode a packed 4-bit move stream (TPU walk kernel) into a forward
+    [n, 2] (graph position, read row) trace; None if the native library is
+    unavailable; raises ValueError on a malformed stream."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    moves = np.ascontiguousarray(moves, dtype=np.uint32)
+    out_w = np.empty(cap, dtype=np.int64)
+    out_r = np.empty(cap, dtype=np.int64)
+    n = lib.ga_decode_moves(
+        moves.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(moves),
+        int(start_w),
+        int(start_row),
+        node_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        node_end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        pos_to_node.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        in_nbrs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        in_nbrs.shape[1],
+        cap,
+        out_w.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_r.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if n < 0:
+        raise ValueError("malformed move stream")
+    return np.stack([out_w[:n], out_r[:n]], axis=1)

@@ -100,7 +100,9 @@ def banded_cell_kernel(
             # within-node chain advance
             r_chain = jnp.minimum(oe, sbs + 1)
             hin = r_chain - sbs
-            eq_lo_g = jnp.where(e_prev == 1, eq_lo_v, eq_lo_v & ~jnp.uint32(1))
+            eq_lo_g = jnp.where(
+                (e_prev & 1) == 1, eq_lo_v, eq_lo_v & ~jnp.uint32(1)
+            )
             c_vp_lo, c_vp_hi, c_vn_lo, c_vn_hi, c_send = wordops.myers_advance(
                 eq_lo_g, eq_hi_v, vp_lo, vp_hi, vn_lo, vn_hi, send, hin
             )
@@ -137,7 +139,9 @@ def banded_cell_kernel(
                     jnp.sum(jnp.where(oh_p, buf_ref[f], 0), axis=0)
                     for f in range(7)
                 ]
-                eq_lo_k = jnp.where(g[6] == 1, eq_lo_v, eq_lo_v & ~jnp.uint32(1))
+                eq_lo_k = jnp.where(
+                    (g[6] & 1) == 1, eq_lo_v, eq_lo_v & ~jnp.uint32(1)
+                )
                 a_vp_lo, a_vp_hi, a_vn_lo, a_vn_hi, a_send = (
                     wordops.myers_advance(
                         eq_lo_k,
@@ -164,7 +168,7 @@ def banded_cell_kernel(
             n_vn_hi = jnp.where(vc, jnp.where(st, s_vn_hi, c_vn_hi), ic[3])
             n_sbs = jnp.where(vc, jnp.where(st, s_sbs, r_chain), INF)
             n_send = jnp.where(vc, jnp.where(st, s_send, c_send), INF + 64)
-            n_e = (inprev & (n_sbs == oe) & vc).astype(jnp.int32)
+            n_e = (inprev & (n_sbs == oe) & vc).astype(jnp.int32) | (code << 1)
 
             fields = jnp.stack(
                 [

@@ -1,0 +1,448 @@
+"""Pallas TPU kernel: backtrace walk emitting 4-bit move codes.
+
+The reference backtrace (pickBacktracePredecessor/getTraceFromTable,
+GraphAligner.h:493-591, 894-1021) is a per-read sequential walk with
+random access into the DP table — the worst possible shape for both XLA
+(whose per-element gathers run ~7ns/element) and the remote-TPU link
+(shipping packed columns costs ~100KB/read). This kernel walks ALL lanes
+in lockstep, slice by slice (grid = batch-block x table-slice,
+descending), with each slice's packed columns DMA'd into VMEM and every
+per-lane random access done as a one-hot masked sum over the VMEM block
+— two orders of magnitude faster than XLA gathers.
+
+Instead of (position, row) pairs, each lockstep step emits a 4-bit move
+code per lane (PAD / STOP / V / within-node H / within-node D /
+H-via-pred-k / D-via-pred-k), packed 8 per int32 — ~6KB per 10kb read
+across the link instead of ~100KB. The host decodes moves back into the
+exact trace with the native C++ decoder (native/ga_native.cpp), which
+replays the same predecessor rules over the host graph.
+
+The walk never touches graph positions on device: state is (slice,
+band slot, in-node offset), with node identity resolved through the
+per-slice band tables the engine already records — so no big-table
+gathers exist anywhere in the kernel.
+
+Move codes (K_in <= 4):
+  0       PAD   (lane idle this lockstep step)
+  1       STOP  (row-0 free start, GraphAligner.h:505-513; appends
+                 (w, row-1) and terminates)
+  2       V     vertical (w, row-1)
+  3       H0    horizontal within node (w-1, row)
+  4       D0    diagonal within node (w-1, row-1)
+  8+k     Hk    horizontal via in-neighbor k (pred node end, row)
+  12+k    Dk    diagonal via in-neighbor k (pred node end, row-1)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+INF = np.int32(1 << 20)
+
+_JIT_CACHE: dict = {}
+
+
+def walk_moves(*args, K_in, W_cap=448, Bb=128):
+    """jit-cached entry (one jit instance per shape signature — see the
+    dispatch-fastpath note in core.engine_banded)."""
+    import jax
+
+    shapes = tuple(a.shape for a in args)
+    Bb = min(Bb, args[0].shape[3])
+    key = (shapes, K_in, W_cap, Bb)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(
+            functools.partial(walk_moves_kernel, K_in=K_in, W_cap=W_cap, Bb=Bb)
+        )
+        _JIT_CACHE[key] = fn
+    return fn(*args)
+
+
+def walk_moves_kernel(
+    cols_tab,  # [K, 7, Cm, B] int32 packed columns (slice k -> row k-1)
+    band_tab,  # [K, Nm, B] int32 band node ids (EMPTY pad)
+    lens_tab,  # [K, Nm, B] int32 per-slot node lengths
+    pred_tab,  # [K, Nm, B] int32 packed preds (slot|valid<<5)<<6k
+    mtab,  # [K, 64, B] int32 per-row 5-bit match masks (bit g = match)
+    seq_len,  # [1, B] int32 (getValueOrMax default)
+    seed_node,  # [1, B] int32 (synthetic slice-0 band)
+    start_slot,  # [1, B] int32 backtrace start cell slot (in slice K_lane)
+    start_off,  # [1, B] int32 backtrace start cell in-node offset
+    start_score,  # [1, B] int32 final slice min score
+    keeps,  # [1, B] int32 per-lane table slice count K_lane (0 = skip)
+    *,
+    K_in: int,
+    W_cap: int = 448,
+    Bb: int = 256,
+):
+    """Returns (moves [T_w, B] int32, fail [1, B] int32) where T_w =
+    ceil((K*96+256)/8); nibble t of the flattened stream is lockstep
+    step t's move."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K, _, Cm, B = cols_tab.shape
+    Nm = band_tab.shape[1]
+    assert B % Bb == 0 and K_in <= 4
+    T_total = K * 160 + 512
+    T_w = (T_total + 7) // 8
+    nb = B // Bb
+
+    def kernel(
+        cols_cur,
+        cols_prev,
+        band_cur,
+        band_prev,
+        lens_cur,
+        lens_prev,
+        pred_cur,
+        mtab_cur,
+        sl_ref,
+        seed_ref,
+        sslot_ref,
+        soff_ref,
+        sscore_ref,
+        keeps_ref,
+        moves_ref,
+        fail_ref,
+        st_ref,  # scratch [16, Bb] int32 lane state
+        word_ref,  # scratch [1, Bb] int32 move-pack word
+        ctr_ref,  # scratch SMEM [1] int32 lockstep step counter
+    ):
+        s = pl.program_id(1)
+        q = K - s  # table slice processed this grid step
+        iota_nm = jax.lax.broadcasted_iota(jnp.int32, (Nm, Bb), 0)
+        iota_cm = jax.lax.broadcasted_iota(jnp.int32, (Cm, Bb), 0)
+        iota_64 = jax.lax.broadcasted_iota(jnp.int32, (64, Bb), 0)
+        u32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+        @pl.when(s == 0)
+        def _init():
+            st_ref[0, :] = keeps_ref[0, :]  # sk
+            st_ref[1, :] = jnp.full(Bb, 63, jnp.int32)  # row_in
+            st_ref[2, :] = sslot_ref[0, :]  # slot
+            st_ref[3, :] = soff_ref[0, :]  # off
+            st_ref[4, :] = sscore_ref[0, :]  # here
+            st_ref[5, :] = (keeps_ref[0, :] < 1).astype(jnp.int32)  # done
+            st_ref[6, :] = jnp.zeros(Bb, jnp.int32)  # fail
+            st_ref[7, :] = jnp.ones(Bb, jnp.int32)  # needs_col
+            for f in range(7):
+                st_ref[8 + f, :] = jnp.zeros(Bb, jnp.int32)  # col cache
+            st_ref[15, :] = jnp.zeros(Bb, jnp.int32)
+            word_ref[0, :] = jnp.zeros(Bb, jnp.int32)
+            ctr_ref[0] = 0
+            moves_ref[:] = jnp.zeros((T_w, Bb), jnp.int32)
+            fail_ref[0, :] = jnp.zeros(Bb, jnp.int32)
+
+        def excl_cumsum_nm(x):
+            # exclusive prefix sum along the Nm axis (no cumsum in Mosaic)
+            acc = x
+            k = 1
+            while k < Nm:
+                acc = acc + jnp.where(
+                    iota_nm >= k, pltpu.roll(acc, k, 0), 0
+                )
+                k *= 2
+            return acc - x
+
+        # per-slice derived tables
+        lens_c = lens_cur[0]
+        offs_c = excl_cumsum_nm(lens_c)  # [Nm, Bb]
+        lens_p = lens_prev[0]
+        offs_p = excl_cumsum_nm(lens_p)
+        band_c = band_cur[0]
+        band_p = band_prev[0]
+        pred_c = pred_cur[0]
+        mt = mtab_cur[0]  # [64, Bb]
+        seq_len_v = sl_ref[0, :]
+        seed_v = seed_ref[0, :]
+
+        def oh_read_nm(tab, slot):
+            oh = iota_nm == slot[None, :]
+            return jnp.sum(jnp.where(oh, tab, 0), axis=0)
+
+        def oh_read_64(tab, r):
+            oh = iota_64 == r[None, :]
+            return jnp.sum(jnp.where(oh, tab, 0), axis=0)
+
+        def read_col(cols_blk, cell):
+            oh = iota_cm == cell[None, :]
+            return [
+                jnp.sum(jnp.where(oh, cols_blk[0, f], 0), axis=0)
+                for f in range(7)
+            ]
+
+        def col_value(col, r):
+            """Score at row r (masked popcount, WordSlice::getValue)."""
+            r = jnp.clip(r, 0, 63)
+            n_lo = jnp.minimum(r + 1, 32).astype(jnp.uint32)
+            n_hi = jnp.clip(r + 1 - 32, 0, 32).astype(jnp.uint32)
+            m_lo = jnp.where(
+                n_lo >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << n_lo) - 1
+            )
+            m_hi = jnp.where(
+                n_hi >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << n_hi) - 1
+            )
+            pc = lambda x: jax.lax.population_count(x).astype(jnp.int32)
+            return (
+                col[4]
+                + pc(u32(col[0]) & m_lo)
+                + pc(u32(col[1]) & m_hi)
+                - pc(u32(col[2]) & m_lo)
+                - pc(u32(col[3]) & m_hi)
+            )
+
+        def prev_value(node_id, off, default):
+            """Score at (slice q-1, node, off, row 63): the previous
+            slice's last row, or the synthetic initial slice when q==1."""
+            eqp = (band_p == node_id[None, :]) & (band_p < np.int32(2**31 - 1))
+            found = jnp.any(eqp, axis=0)
+            # band ids are unique per slice: one-hot sum replaces argmax
+            # (integer argmax is unimplemented in Mosaic)
+            pslot = jnp.sum(jnp.where(eqp, iota_nm, 0), axis=0)
+            cell = oh_read_nm(offs_p, pslot) + off
+            col = read_col(cols_prev, jnp.clip(cell, 0, Cm - 1))
+            v = jnp.where(found, col[5], default)  # row-63 score == send
+            init_v = jnp.where(node_id == seed_v, 0, default)
+            return jnp.where(q == 1, init_v, v)
+
+        def prev_slot_of(node_id):
+            eqp = (band_p == node_id[None, :]) & (band_p < np.int32(2**31 - 1))
+            return jnp.sum(jnp.where(eqp, iota_nm, 0), axis=0)
+
+        def loop_body(state):
+            it, _ = state
+            sk = st_ref[0, :]
+            row_in = st_ref[1, :]
+            slot = st_ref[2, :]
+            off = st_ref[3, :]
+            here = st_ref[4, :]
+            done = st_ref[5, :] == 1
+            fail = st_ref[6, :] == 1
+            needs_col = st_ref[7, :] == 1
+            active = (sk == q) & ~done & ~fail
+
+            cell = oh_read_nm(offs_c, slot) + off
+            fresh = read_col(cols_cur, jnp.clip(cell, 0, Cm - 1))
+            col = [
+                jnp.where(active & needs_col, fresh[f], st_ref[8 + f, :])
+                for f in range(7)
+            ]
+
+            node_id = oh_read_nm(band_c, slot)
+            len_s = oh_read_nm(lens_c, slot)
+            is_start = off == 0
+            grow = (q - 1) * 64 + row_in  # global row
+            code = (col[6] >> 1) & 7
+            matched = ((oh_read_64(mt, row_in) >> code) & 1) == 1
+            default = seq_len_v
+
+            # row-0 free-start stop
+            spec = (
+                active
+                & (grow == 0)
+                & (node_id == seed_v)
+                & (here >= 0)
+                & (here <= 1)
+            )
+
+            decided = spec | ~active
+            move = jnp.where(spec, 1, 0)
+            n_slot = slot
+            n_off = off
+            n_row = jnp.where(spec, row_in - 1, row_in)
+            n_here = here
+            n_col = col
+            predw = oh_read_nm(pred_c, slot)
+            for k in range(K_in):
+                pslot_k = (predw >> (6 * k)) & 31
+                pvalid_k = ((predw >> (6 * k + 5)) & 1) == 1
+                u_slot = jnp.where(is_start, pslot_k, slot)
+                u_off = jnp.where(
+                    is_start, oh_read_nm(lens_c, pslot_k) - 1, off - 1
+                )
+                if k == 0:
+                    uv = active & (pvalid_k | ~is_start)
+                else:
+                    uv = active & is_start & pvalid_k
+                u_cell = oh_read_nm(offs_c, u_slot) + u_off
+                u_col = read_col(cols_cur, jnp.clip(u_cell, 0, Cm - 1))
+                u_node = jnp.where(is_start, oh_read_nm(band_c, pslot_k), node_id)
+                horizontal = jnp.where(uv, col_value(u_col, row_in), INF)
+                take_h = uv & (horizontal == here - 1) & ~decided
+                diag_in = col_value(u_col, row_in - 1)
+                diag_bd = prev_value(u_node, u_off, default)
+                diag = jnp.where(row_in == 0, diag_bd, diag_in)
+                d_ok = (matched & (diag == here)) | (
+                    ~matched & (diag == here - 1)
+                )
+                take_d = uv & d_ok & ~decided & ~take_h
+                take = take_h | take_d
+                move = jnp.where(
+                    take_h, jnp.where(is_start, 8 + k, 3), move
+                )
+                move = jnp.where(
+                    take_d, jnp.where(is_start, 12 + k, 4), move
+                )
+                n_slot = jnp.where(take, u_slot, n_slot)
+                n_off = jnp.where(take, u_off, n_off)
+                n_row = jnp.where(take_d, row_in - 1, n_row)
+                n_here = jnp.where(
+                    take_h | (take_d & ~matched), here - 1, n_here
+                )
+                n_col = [jnp.where(take, u_col[f], c) for f, c in enumerate(n_col)]
+                decided = decided | take
+            vert_in = col_value(col, row_in - 1)
+            vert_bd = prev_value(node_id, off, default)
+            vert = jnp.where(row_in == 0, vert_bd, vert_in)
+            take_v = active & (vert == here - 1) & ~decided
+            move = jnp.where(take_v, 2, move)
+            n_row = jnp.where(take_v, row_in - 1, n_row)
+            n_here = jnp.where(take_v, here - 1, n_here)
+            decided = decided | take_v
+
+            new_fail = active & ~decided
+            moved_down = decided & ~spec & (n_row < row_in) & (row_in == 0)
+            # slice transition: re-express (slot, off) in slice q-1's layout
+            cur_node2 = oh_read_nm(band_c, n_slot)
+            t_slot = prev_slot_of(cur_node2)
+            n_sk = jnp.where(moved_down, sk - 1, sk)
+            n_slot = jnp.where(moved_down, t_slot, n_slot)
+            n_row2 = jnp.where(moved_down, 63, n_row)
+            needs2 = (active & moved_down) | (~active & (st_ref[7, :] == 1))
+            new_done = spec | (done) | ((q == 1) & moved_down)
+            # q==1 downward move means row hit -1: done (the -1 row entry is
+            # implicit; the decoder appends and pops it like the host walk)
+
+            st_ref[0, :] = n_sk
+            st_ref[1, :] = n_row2
+            st_ref[2, :] = n_slot
+            st_ref[3, :] = n_off
+            st_ref[4, :] = n_here
+            st_ref[5, :] = new_done.astype(jnp.int32)
+            st_ref[6, :] = (fail | new_fail).astype(jnp.int32)
+            st_ref[7, :] = needs2.astype(jnp.int32)
+            for f in range(7):
+                st_ref[8 + f, :] = jnp.where(active, n_col[f], col[f])
+
+            move = jnp.where(active, move, 0)
+            t = ctr_ref[0]
+            w = word_ref[0, :] | (move << (4 * (t % 8)))
+            last_nibble = (t % 8) == 7
+            widx = jnp.minimum(t // 8, T_w - 1)
+
+            @pl.when(last_nibble)
+            def _flush():
+                moves_ref[widx, :] = w
+                word_ref[0, :] = jnp.zeros(Bb, jnp.int32)
+
+            @pl.when(jnp.logical_not(last_nibble))
+            def _keep():
+                word_ref[0, :] = w
+
+            ctr_ref[0] = t + 1
+            still = jnp.any(
+                (st_ref[0, :] == q)
+                & (st_ref[5, :] == 0)
+                & (st_ref[6, :] == 0)
+            )
+            return (it + 1, still)
+
+        def loop_cond(state):
+            it, still = state
+            return still & (it < W_cap) & (ctr_ref[0] < T_total - 1)
+
+        init_still = jnp.any(
+            (st_ref[0, :] == q) & (st_ref[5, :] == 0) & (st_ref[6, :] == 0)
+        )
+        jax.lax.while_loop(loop_cond, loop_body, (jnp.int32(0), init_still))
+
+        @pl.when(s == K - 1)
+        def _finish():
+            t = ctr_ref[0]
+            widx = jnp.minimum(t // 8, T_w - 1)
+            moves_ref[widx, :] = word_ref[0, :]
+            # lanes not done (or that overran the move budget) fail
+            fail_ref[0, :] = (
+                (st_ref[6, :] == 1) | (st_ref[5, :] == 0)
+            ).astype(jnp.int32)
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def im_cur(b, s):
+        return (K - 1 - s, 0, 0, b)
+
+    def im_prev(b, s):
+        return (jnp.maximum(K - 2 - s, 0), 0, 0, b)
+
+    def im_cur3(b, s):
+        return (K - 1 - s, 0, b)
+
+    def im_prev3(b, s):
+        return (jnp.maximum(K - 2 - s, 0), 0, b)
+
+    def im_b(b, s):
+        return (0, b)
+
+    moves, fail = pl.pallas_call(
+        kernel,
+        grid=(nb, K),
+        in_specs=[
+            pl.BlockSpec((1, 7, Cm, Bb), im_cur, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 7, Cm, Bb), im_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nm, Bb), im_cur3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nm, Bb), im_prev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nm, Bb), im_cur3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nm, Bb), im_prev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nm, Bb), im_cur3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 64, Bb), im_cur3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bb), im_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bb), im_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bb), im_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bb), im_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bb), im_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bb), im_b, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((T_w, Bb), lambda b, s: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bb), lambda b, s: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T_w, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ],
+        # both grid dims execute sequentially and the lane-state scratch
+        # must persist across the slice dimension
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((16, Bb), jnp.int32),
+            pltpu.VMEM((1, Bb), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )(
+        cols_tab,
+        cols_tab,  # same array, "previous slice" block view
+        band_tab,
+        band_tab,
+        lens_tab,
+        lens_tab,
+        pred_tab,
+        mtab,
+        seq_len,
+        seed_node,
+        start_slot,
+        start_off,
+        start_score,
+        keeps,
+    )
+    return moves, fail

@@ -318,4 +318,59 @@ const uint8_t* ga_gfa_l_from_minus(void* h) { return ((GaGfa*)h)->l_from_minus.d
 const uint8_t* ga_gfa_l_to_minus(void* h) { return ((GaGfa*)h)->l_to_minus.data(); }
 void ga_gfa_destroy(void* h) { delete (GaGfa*)h; }
 
+
+// ---------------------------------------------------------------------------
+// Backtrace move decoder (counterpart of ops/pallas/walk_moves.py).
+//
+// The TPU walk kernel emits 4-bit move codes per lockstep step; this
+// replays them over the host graph to reconstruct the exact
+// (graph position, read row) trace of the reference backtrace
+// (pickBacktracePredecessor, GraphAligner.h:493-591). Emits FORWARD
+// order; the implicit row -1 terminator is dropped (getTraceFromTable,
+// GraphAligner.h:894-1021). Returns the number of steps, or -1 on a
+// malformed stream / capacity overflow.
+//   moves:   packed words, nibble t = lockstep step t
+//   in_nbrs: [num_nodes * k_in], -1 padded, adjacency order
+// ---------------------------------------------------------------------------
+int64_t ga_decode_moves(const uint32_t* moves, int64_t n_words,
+                        int64_t start_w, int64_t start_row,
+                        const int64_t* node_start, const int64_t* node_end,
+                        const int32_t* pos_to_node,
+                        const int32_t* in_nbrs, int32_t k_in,
+                        int64_t cap, int64_t* out_w, int64_t* out_r) {
+  int64_t w = start_w, row = start_row, n = 0;
+  if (n < cap) { out_w[n] = w; out_r[n] = row; n++; } else return -1;
+  for (int64_t t = 0; t < n_words * 8; t++) {
+    uint32_t code = (moves[t >> 3] >> (4 * (t & 7))) & 0xF;
+    if (code == 0) continue;  // PAD
+    int64_t node = pos_to_node[w];
+    if (code == 1) {           // STOP: (w, row-1), then terminate
+      row -= 1;
+    } else if (code == 2) {    // V
+      row -= 1;
+    } else if (code == 3) {    // H within node
+      w -= 1;
+    } else if (code == 4) {    // D within node
+      w -= 1; row -= 1;
+    } else if (code >= 8 && code < 16) {
+      int k = (code & 3);
+      int32_t nb = in_nbrs[node * k_in + k];
+      if (nb < 0) return -1;
+      w = node_end[nb] - 1;
+      if (code >= 12) row -= 1;  // Dk else Hk
+    } else {
+      return -1;
+    }
+    if (row < 0) break;        // the -1-row entry is dropped
+    if (n >= cap) return -1;
+    out_w[n] = w; out_r[n] = row; n++;
+  }
+  // reverse to forward order
+  for (int64_t i = 0, j = n - 1; i < j; i++, j--) {
+    int64_t tw = out_w[i]; out_w[i] = out_w[j]; out_w[j] = tw;
+    int64_t tr = out_r[i]; out_r[i] = out_r[j]; out_r[j] = tr;
+  }
+  return n;
+}
+
 }  // extern "C"

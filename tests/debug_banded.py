@@ -164,7 +164,7 @@ def main():
                         f" dev={rows[d[0][0], d[0][1]]} ora={orows[d[0][0], d[0][1]]}"
                     )
                     bad = True
-                if not np.array_equal(seg[:, 6].astype(bool), oex):
+                if not np.array_equal((seg[:, 6] & 1).astype(bool), oex):
                     print(
                         f"[{name}] slice {s} node {n}: exists dev={seg[:,6]} ora={oex.astype(int)}"
                     )

@@ -121,7 +121,7 @@ def test_device_slices_match_oracle(sim):
                 n = int(n)
                 assert np.array_equal(seg[:, 4], osl.sbs[n])
                 assert np.array_equal(rows, osl.rows[n])
-                assert np.array_equal(seg[:, 6].astype(bool), osl.sbs_exists[n])
+                assert np.array_equal((seg[:, 6] & 1).astype(bool), osl.sbs_exists[n])
                 c += L
 
 
