@@ -89,7 +89,7 @@ def walk_moves_kernel(
     K, _, Cm, B = cols_tab.shape
     Nm = band_tab.shape[1]
     assert B % Bb == 0 and K_in <= 4
-    T_total = K * 160 + 512
+    T_total = K * 112 + 512
     T_w = (T_total + 7) // 8
     nb = B // Bb
 

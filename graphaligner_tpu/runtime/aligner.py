@@ -92,7 +92,9 @@ def align_reads(
         except ValueError as e:
             log(f"device engine unavailable ({e}); falling back to oracle")
     elif backend == "jax":
-        log("seeded mode runs on the host pipeline (banded device engine pending)")
+        return _align_reads_seeded_batched(
+            params, graph, fastqs, seed_hits, log, output_dir, device_batch
+        )
 
     backend_kwargs = {}
     if slice_backend is not None:
@@ -152,6 +154,57 @@ def align_reads(
         stream.write_messages(gam_path, [result.alignment])
         write_trace(result.trace, os.path.join(output_dir, f"trace_0_{name}.trace"))
 
+    log(f"final result has {len(alignments)} alignments")
+    if params.alignment_file:
+        stream.write_messages(params.alignment_file, alignments)
+    if params.auggraph_file:
+        graphs = stream.read_messages(params.graph_file, vg.Graph)
+        aug = augment_graph_with_alignments(graphs, alignments)
+        stream.write_messages(params.auggraph_file, [aug])
+    return alignments
+
+
+def _align_reads_seeded_batched(
+    params, graph, fastqs, seed_hits, log, output_dir: str, device_batch: int
+) -> list:
+    """Seeded banded alignment through the batched device engine
+    (core.batch_align): reads are aligned in device-sized chunks; per-read
+    GAM/trace outputs and the final concatenated GAM mirror the per-read
+    path byte for byte."""
+    from ..core.batch_align import BandedBatchAligner, align_reads_seeded_batch
+
+    aligner = BandedBatchAligner(
+        graph, params.initial_bandwidth, params.ramp_bandwidth
+    )
+    alignments: list = []
+    order = list(reversed(fastqs))  # match the per-read path's order
+    for start in range(0, len(order), device_batch):
+        chunk = [r for r in order[start : start + device_batch]]
+        with_seeds = [r for r in chunk if seed_hits.get(r.seq_id)]
+        for r in chunk:
+            if not seed_hits.get(r.seq_id):
+                log(f"read {r.seq_id} has no seed hits")
+                log(f"read {r.seq_id} alignment failed")
+        results = align_reads_seeded_batch(graph, aligner, with_seeds, seed_hits)
+        for fastq in with_seeds:
+            result = results[fastq.seq_id]
+            log(f"read {fastq.seq_id} size {len(fastq.sequence)}bp")
+            if result.alignment_failed or result.alignment.score == INT32_MAX:
+                log(f"read {fastq.seq_id} alignment failed")
+                continue
+            log(f"read {fastq.seq_id} score {result.alignment.score}")
+            if result.alignment.score > len(fastq.sequence) * 0.25:
+                log(f"read {fastq.seq_id} score is poor: {result.alignment.score}")
+            replace_digraph_node_ids(result.alignment)
+            alignments.append(result.alignment)
+            name = _safe_filename(fastq.seq_id)
+            stream.write_messages(
+                os.path.join(output_dir, f"alignment_0_{name}.gam"),
+                [result.alignment],
+            )
+            write_trace(
+                result.trace, os.path.join(output_dir, f"trace_0_{name}.trace")
+            )
     log(f"final result has {len(alignments)} alignments")
     if params.alignment_file:
         stream.write_messages(params.alignment_file, alignments)
