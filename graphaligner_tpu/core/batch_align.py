@@ -55,23 +55,70 @@ from .params import BACKTRACE_OVERRIDE_CUTOFF, WORD_SIZE
 from ..ops.packing import unpack_deltas_np
 
 
-@dataclass
 class _Round:
-    """One banded_scan invocation's host-side record."""
+    """One banded_scan invocation's host-side record.
 
-    lanes: list  # problem index per batch lane
-    start_slice: np.ndarray  # [B]
-    num_steps: np.ndarray  # [B]
-    band_ids: np.ndarray  # [S, Nm, B]
-    node_min: np.ndarray  # [S, Nm, B]
-    node_end: np.ndarray  # [S, Nm, B]
-    min_score: np.ndarray  # [S, B]
-    num_cells: np.ndarray  # [S, B]
-    overflow: np.ndarray  # [S, B]
-    cols_dev: object  # [S, 7, Cm, B] — stays in device HBM
-    sends_dev: object  # [S, Cm, B] — stays in device HBM
-    lens_tab: np.ndarray = None  # [S, Nm, B]
-    pred_tab: np.ndarray = None  # [S, Nm, B] packed (slot|valid<<5)<<6k
+    Only the packed per-slice control triple (min_score, num_cells,
+    overflow — what the getSqrtSlices replay consumes) is fetched from
+    the device eagerly; the multi-MB per-slice tables stay in device HBM
+    and materialize host-side lazily, each at most once (the remote-TPU
+    link moves ~10 MB/s, so eager fetches dominated whole-pipeline time)."""
+
+    def __init__(
+        self,
+        lanes,  # problem index per batch lane
+        start_slice,  # [B] np
+        num_steps,  # [B] np
+        control,  # [S, 3, B] np (min_score, num_cells, overflow)
+        band_ids_dev,  # [S, Nm, B] device
+        node_min_dev,  # [S, Nm, B] device
+        node_end_dev,  # [S, Nm, B] device
+        lens_tab_dev,  # [S, Nm, B] device
+        pred_tab_dev,  # [S, Nm, B] device packed (slot|valid<<5)<<6k
+        cols_dev,  # [S, 7, Cm, B] device
+        sends_dev,  # [S, Cm, B] device
+    ):
+        self.lanes = lanes
+        self.start_slice = start_slice
+        self.num_steps = num_steps
+        self.min_score = control[:, 0]
+        self.num_cells = control[:, 1]
+        self.overflow = control[:, 2].astype(bool)
+        self.band_ids_dev = band_ids_dev
+        self.node_min_dev = node_min_dev
+        self.node_end_dev = node_end_dev
+        self.lens_tab_dev = lens_tab_dev
+        self.pred_tab_dev = pred_tab_dev
+        self.cols_dev = cols_dev
+        self.sends_dev = sends_dev
+        self._host: dict = {}
+
+    def _lazy(self, name):
+        arr = self._host.get(name)
+        if arr is None:
+            arr = np.asarray(getattr(self, name + "_dev"))
+            self._host[name] = arr
+        return arr
+
+    @property
+    def band_ids(self) -> np.ndarray:
+        return self._lazy("band_ids")
+
+    @property
+    def node_min(self) -> np.ndarray:
+        return self._lazy("node_min")
+
+    @property
+    def node_end(self) -> np.ndarray:
+        return self._lazy("node_end")
+
+    @property
+    def lens_tab(self) -> np.ndarray:
+        return self._lazy("lens_tab")
+
+    @property
+    def pred_tab(self) -> np.ndarray:
+        return self._lazy("pred_tab")
 
 
 @dataclass
@@ -311,9 +358,11 @@ class BandedBatchAligner:
         ]
         if not walk_idx:
             return results
-        final_sends = self._gather_final_sends(lanes, keeps)
+        final_sends, final_band = self._gather_final_sends(lanes, keeps)
         try:
-            starts = self._walk_starts(problems, lanes, keeps, walk_idx, final_sends)
+            starts = self._walk_starts(
+                problems, lanes, keeps, walk_idx, final_sends, final_band
+            )
         except AssertionError:
             # host/device band divergence: fall back lane-by-lane
             for i in walk_idx:
@@ -392,11 +441,11 @@ class BandedBatchAligner:
         Bp = max(128, -(-B // 128) * 128)
         if Bp != B:
             cols_tab = jnp.pad(cols_tab, ((0, 0),) * 3 + ((0, Bp - B),))
-            band_tab = np.pad(
+            band_tab = jnp.pad(
                 band_tab, ((0, 0), (0, 0), (0, Bp - B)), constant_values=int(EMPTY)
             )
-            lens_tab = np.pad(lens_tab, ((0, 0), (0, 0), (0, Bp - B)))
-            pred_tab = np.pad(pred_tab, ((0, 0), (0, 0), (0, Bp - B)))
+            lens_tab = jnp.pad(lens_tab, ((0, 0), (0, 0), (0, Bp - B)))
+            pred_tab = jnp.pad(pred_tab, ((0, 0), (0, 0), (0, Bp - B)))
         from .backtrace_device import _BT_MATCH
 
         bits_lut = np.zeros(_BT_MATCH.shape[0], dtype=np.int32)
@@ -476,8 +525,9 @@ class BandedBatchAligner:
 
     def _gather_final_sends(self, lanes, keeps):
         """One batched device gather + fetch of every walk lane's final
-        slice per-cell last-row scores [B, Cm] (per-lane fetches cost
-        ~40ms each over the remote-TPU link)."""
+        slice: per-cell last-row scores [B, Cm] and band node ids [B, Nm],
+        packed into a single transfer (per-lane fetches cost ~40ms each
+        over the remote-TPU link)."""
         import jax.numpy as jnp
 
         B = len(lanes)
@@ -500,14 +550,21 @@ class BandedBatchAligner:
                     steps[i] = rec.step
                     lane_pos[i] = rec.lane_in_round
                     mask[i] = True
-            src = rnd.sends_dev[
-                jnp.asarray(steps), :, jnp.asarray(lane_pos)
-            ]  # [B, Cm]
+            steps_d = jnp.asarray(steps)
+            lane_d = jnp.asarray(lane_pos)
+            src = jnp.concatenate(
+                [
+                    rnd.sends_dev[steps_d, :, lane_d],  # [B, Cm]
+                    rnd.band_ids_dev[steps_d, :, lane_d],  # [B, Nm]
+                ],
+                axis=1,
+            )
             m = jnp.asarray(mask)[:, None]
             acc = jnp.where(m, src, 0) if acc is None else jnp.where(m, src, acc)
-        return np.asarray(acc)  # [B, Cm]
+        packed = np.asarray(acc)  # [B, Cm + Nm]
+        return packed[:, : self.Cm], packed[:, self.Cm :]
 
-    def _walk_starts(self, problems, lanes, keeps, walk_idx, final_sends):
+    def _walk_starts(self, problems, lanes, keeps, walk_idx, final_sends, final_band):
         """Backtrace start position per lane: min_score_index.back() of the
         final surviving slice, with the reference's banded-Tarjan
         collection order (GraphAligner.h:2359-2366)."""
@@ -519,7 +576,8 @@ class BandedBatchAligner:
             accepted = lane.accepted[:keep]
             rec = accepted[-1]
             sends = final_sends[i]
-            ids = rec.band_ids()
+            ids = final_band[i]
+            ids = ids[ids != EMPTY]
             order2, lens2, offs2 = _cell_layout(self.tables, ids)
             c_used = int(lens2.sum())
             best = rec.min_score
@@ -567,9 +625,11 @@ class BandedBatchAligner:
             for rec in lane.accepted:
                 if rec.rnd not in rounds:
                     rounds.append(rec.rnd)
-        band_tab = np.full((K_max, self.Nm, B), int(EMPTY), dtype=np.int32)
-        lens_tab = np.zeros((K_max, self.Nm, B), dtype=np.int32)
-        pred_tab = np.zeros((K_max, self.Nm, B), dtype=np.int32)
+        # all tables are gathered on DEVICE (band/lens/pred feed the walk
+        # kernel directly; nothing multi-MB crosses the host link)
+        band_tab = jnp.full((K_max, self.Nm, B), int(EMPTY), dtype=jnp.int32)
+        lens_tab = jnp.zeros((K_max, self.Nm, B), dtype=jnp.int32)
+        pred_tab = jnp.zeros((K_max, self.Nm, B), dtype=jnp.int32)
         cols_tab = None
         for rnd in rounds:
             steps = np.zeros((K_max, B), dtype=np.int32)
@@ -581,10 +641,6 @@ class BandedBatchAligner:
                     if rec.rnd is rnd:
                         steps[k, i] = rec.step
                         mask[k, i] = True
-                        lr = rec.lane_in_round
-                        band_tab[k, :, i] = rnd.band_ids[rec.step, :, lr]
-                        lens_tab[k, :, i] = rnd.lens_tab[rec.step, :, lr]
-                        pred_tab[k, :, i] = rnd.pred_tab[rec.step, :, lr]
             # map batch lanes: lane i occupies rec.lane_in_round in rnd
             lane_pos = np.zeros(B, dtype=np.int32)
             for i, lane in enumerate(lanes):
@@ -592,6 +648,20 @@ class BandedBatchAligner:
                     if rec.rnd is rnd:
                         lane_pos[i] = rec.lane_in_round
                         break
+            steps_d = jnp.asarray(steps)[:, None, :]  # [K_max, 1, B]
+            mask_d = jnp.asarray(mask)[:, None, :]
+            for tab, dev, fill in (
+                ("band", rnd.band_ids_dev, None),
+                ("lens", rnd.lens_tab_dev, None),
+                ("pred", rnd.pred_tab_dev, None),
+            ):
+                g = jnp.take_along_axis(dev[:, :, lane_pos], steps_d, axis=0)
+                if tab == "band":
+                    band_tab = jnp.where(mask_d, g, band_tab)
+                elif tab == "lens":
+                    lens_tab = jnp.where(mask_d, g, lens_tab)
+                else:
+                    pred_tab = jnp.where(mask_d, g, pred_tab)
             src = rnd.cols_dev[:, :, :, lane_pos]  # [S, 7, Cm, B]
             if layout == "perslice":
                 g = jnp.take_along_axis(
@@ -645,6 +715,7 @@ class BandedBatchAligner:
                 init_nend[pos] = s_nend[j]
                 init_min[pos] = s_min[j]
 
+        carry_groups: dict = {}  # id(rnd) -> (rnd, [(pos, rec)])
         for pos, (i, st, carry, ramp_until) in enumerate(requests):
             sel[pos] = i
             start[pos] = st
@@ -654,12 +725,36 @@ class BandedBatchAligner:
                     bw[k, pos] = self.ramp_bandwidth
             if carry != "init":
                 rec: _Rec = carry
-                lr = rec.lane_in_round
-                init_ids[pos] = rec.rnd.band_ids[rec.step, :, lr]
-                init_send[pos] = rec.sends()
-                init_nmin[pos] = rec.rnd.node_min[rec.step, :, lr]
-                init_nend[pos] = rec.rnd.node_end[rec.step, :, lr]
+                carry_groups.setdefault(id(rec.rnd), (rec.rnd, []))[1].append(
+                    (pos, rec)
+                )
                 init_min[pos] = rec.min_score
+        # rewind carries: one batched device gather + fetch per source
+        # round (per-lane fetches cost ~40ms each over the remote link)
+        import jax.numpy as jnp
+
+        for rnd_src, recs in carry_groups.values():
+            steps_a = jnp.asarray(np.array([r.step for _, r in recs]))
+            lanes_a = jnp.asarray(
+                np.array([r.lane_in_round for _, r in recs])
+            )
+            packed = np.asarray(
+                jnp.concatenate(
+                    [
+                        rnd_src.band_ids_dev[steps_a, :, lanes_a],
+                        rnd_src.node_min_dev[steps_a, :, lanes_a],
+                        rnd_src.node_end_dev[steps_a, :, lanes_a],
+                        rnd_src.sends_dev[steps_a, :, lanes_a],
+                    ],
+                    axis=1,
+                )
+            )  # [n, 3*Nm + Cm]
+            Nm = self.Nm
+            for j, (pos, _) in enumerate(recs):
+                init_ids[pos] = packed[j, :Nm]
+                init_nmin[pos] = packed[j, Nm : 2 * Nm]
+                init_nend[pos] = packed[j, 2 * Nm : 3 * Nm]
+                init_send[pos] = packed[j, 3 * Nm :]
 
         out = banded_scan(
             *self._device_args(),
@@ -681,16 +776,14 @@ class BandedBatchAligner:
             lanes=[r[0] for r in requests],
             start_slice=start,
             num_steps=steps,
-            band_ids=np.asarray(out["band_ids"]),
-            node_min=np.asarray(out["node_min"]),
-            node_end=np.asarray(out["node_end"]),
-            min_score=np.asarray(out["min_score"]),
-            num_cells=np.asarray(out["num_cells"]),
-            overflow=np.asarray(out["overflow"]),
+            control=np.asarray(out["control"]),
+            band_ids_dev=out["band_ids"],
+            node_min_dev=out["node_min"],
+            node_end_dev=out["node_end"],
+            lens_tab_dev=out["lens_tab"],
+            pred_tab_dev=out["pred_tab"],
             cols_dev=out["cols"],
             sends_dev=out["sends"],
-            lens_tab=np.asarray(out["lens_tab"]),
-            pred_tab=np.asarray(out["pred_tab"]),
         )
         rnd._bw = bw
         rnd._carry_from = [r[2] for r in requests]

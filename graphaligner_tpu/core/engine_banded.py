@@ -752,6 +752,8 @@ def _banded_scan(
         lens_tab,
         pred_tab,
     ) = ys
+    import jax.numpy as _jnp
+
     return {
         "band_ids": band_ids,  # [S, Nm, B]
         "node_min": node_min,  # [S, Nm, B]
@@ -759,6 +761,12 @@ def _banded_scan(
         "min_score": min_score,  # [S, B]
         "num_cells": num_cells,  # [S, B]
         "overflow": overflow,  # [S, B]
+        # packed control fetch: the ONLY array the host control replay
+        # needs eagerly; one ~small transfer instead of five multi-MB ones
+        # (the remote-TPU link moves ~10 MB/s with ~40ms per-fetch latency)
+        "control": _jnp.stack(
+            [min_score, num_cells, overflow.astype(_jnp.int32)], axis=1
+        ),  # [S, 3, B]
         # [S, 7, Cm, B]: vp_lo vp_hi vn_lo vn_hi sbs send e
         "cols": __import__("jax").numpy.stack(cols, axis=1),
         "sends": sends,  # [S, Cm, B] per-cell last-row scores
