@@ -39,7 +39,7 @@ import numpy as np
 
 from ..graph.alignment_graph import AlignmentGraph
 from .align import DPTable, _pad_to_word
-from .band import project_forward_from_min_score
+from .band import project_forward_from_arrays
 from .engine import _READ_CODE, encode_read
 from .engine_banded import (
     EMPTY,
@@ -101,16 +101,33 @@ class _Round:
         return arr
 
     @property
+    def tie_data(self) -> np.ndarray:
+        """[S, 3, Nm, B] (band_ids, node_min, node_end) — the band replay
+        inputs, materialized host-side in a single packed transfer."""
+        arr = self._host.get("tie")
+        if arr is None:
+            import jax.numpy as jnp
+
+            arr = np.asarray(
+                jnp.stack(
+                    [self.band_ids_dev, self.node_min_dev, self.node_end_dev],
+                    axis=1,
+                )
+            )
+            self._host["tie"] = arr
+        return arr
+
+    @property
     def band_ids(self) -> np.ndarray:
-        return self._lazy("band_ids")
+        return self.tie_data[:, 0]
 
     @property
     def node_min(self) -> np.ndarray:
-        return self._lazy("node_min")
+        return self.tie_data[:, 1]
 
     @property
     def node_end(self) -> np.ndarray:
-        return self._lazy("node_end")
+        return self.tie_data[:, 2]
 
     @property
     def lens_tab(self) -> np.ndarray:
@@ -167,19 +184,6 @@ class _Rec:
     def sends(self) -> np.ndarray:
         """Fetch this lane's per-cell last-row scores from device [Cm]."""
         return np.asarray(self.rnd.sends_dev[self.step, :, self.lane_in_round])
-
-
-class _ProjShim:
-    """Minimal previous-slice view for project_forward_from_min_score."""
-
-    def __init__(self, nodes, node_min, node_ends, min_score):
-        self.nodes = nodes
-        self.node_min = node_min
-        self._ends = node_ends
-        self.min_score = min_score
-
-    def node_end_score(self, node):
-        return self._ends[node]
 
 
 def _cell_layout(tables: BandedGraphTables, ids: np.ndarray):
@@ -254,12 +258,18 @@ class BandedBatchAligner:
         return self._dev_args
 
     # ------------------------------------------------------------ main entry
-    def _run(self, problems):
-        """Run all device rounds + control replay for
-        problems = [(padded_sequence, start_node_index)]; returns the
-        final per-problem _LaneState list."""
+    def _start_run(self, problems):
+        """Dispatch round 1 for a problem chunk WITHOUT blocking on the
+        result: returns an opaque token for _finish_run. Lets the caller
+        overlap another chunk's host-side walk/trace work with this
+        chunk's device scan (JAX dispatch is async; only the control
+        fetch in _finish_run blocks)."""
         n = len(problems)
         S_max = max(1, max(len(seq) // WORD_SIZE for seq, _ in problems))
+        # quantize the compiled scan length so arbitrary corpora hit a
+        # bounded set of jit signatures (excess slices are masked out)
+        if S_max > 8:
+            S_max = -(-S_max // 16) * 16
         lanes = [
             _LaneState(num_slices=len(seq) // WORD_SIZE) for seq, _ in problems
         ]
@@ -268,17 +278,27 @@ class BandedBatchAligner:
         for i, (seq, _) in enumerate(problems):
             codes[i, : len(seq)] = encode_read(seq)
             seq_lens[i] = len(seq)
-        self._codes = codes
-        self._seq_lens = seq_lens
-
-        # round 1: all lanes from the seed carry
         requests = [
             (i, 0, "init", 0) for i in range(n)
         ]  # (problem, start_slice, carry_ref, ramp_until)
+        pend = self._dispatch_round(problems, codes, seq_lens, requests, S_max)
+        return (problems, codes, seq_lens, lanes, S_max, requests, pend)
+
+    def _finish_run(self, token):
+        """Complete all device rounds + control replay for a chunk started
+        by _start_run; returns the final per-problem _LaneState list."""
+        problems, codes, seq_lens, lanes, S_max, requests, pend = token
+        self._codes = codes
+        self._seq_lens = seq_lens
         for round_no in range(self.max_rounds):
             if not requests:
                 break
-            rnd = self._run_round(problems, codes, seq_lens, requests, S_max)
+            if pend is None:
+                pend = self._dispatch_round(
+                    problems, codes, seq_lens, requests, S_max
+                )
+            rnd = self._finish_round(pend)
+            pend = None
             for pos, (i, start, _, _) in enumerate(requests):
                 lane = lanes[i]
                 lane.chain = [
@@ -298,6 +318,12 @@ class BandedBatchAligner:
                 lane.failed = True
         return lanes
 
+    def _run(self, problems):
+        """Run all device rounds + control replay for
+        problems = [(padded_sequence, start_node_index)]; returns the
+        final per-problem _LaneState list."""
+        return self._finish_run(self._start_run(problems))
+
     def get_tables(self, problems):
         """problems: [(padded_sequence, start_node_index)] →
         list of DPTable (reference getSqrtSlices result) or None where the
@@ -316,15 +342,47 @@ class BandedBatchAligner:
                 out.append(None)  # host/device divergence → oracle fallback
         return out
 
-    def get_traces(self, problems):
+    def get_traces(self, problems, chunk_size: int = 256):
         """problems → [(score, trace, table_slices) | None]: the
         (min score, forward-order trace, surviving slice count) triple of
         getTraceFromTable via the batched device walk, or None for lanes
-        needing the host fallback."""
+        needing the host fallback.
+
+        Large problem lists run as a two-deep pipeline of chunks: the
+        next chunk's slice scan is dispatched (async) before the current
+        chunk's control fetch, so the device computes chunk k+1 while the
+        host replays/walks chunk k. Only two chunks' DP columns are live
+        in HBM at a time."""
         if not problems:
             return []
-        lanes = self._run(problems)
-        return self._walk_lanes(problems, lanes)
+        # length-bucketed chunks: a chunk's scan runs max-slices steps for
+        # EVERY lane, so mixing a 2-slice backward extension with a
+        # 160-slice forward one wastes ~98% of the short lane's scan.
+        # Sorting by length first makes each chunk near-uniform.
+        order = sorted(
+            range(len(problems)),
+            key=lambda i: len(problems[i][0]),
+            reverse=True,
+        )
+        chunks = [
+            [problems[j] for j in order[i : i + chunk_size]]
+            for i in range(0, len(order), chunk_size)
+        ]
+        results: list = [None] * len(problems)
+        pend = self._start_run(chunks[0])
+        pos = 0
+        for ci, ch in enumerate(chunks):
+            nxt = (
+                self._start_run(chunks[ci + 1])
+                if ci + 1 < len(chunks)
+                else None
+            )
+            lanes = self._finish_run(pend)
+            for r in self._walk_lanes(ch, lanes):
+                results[order[pos]] = r
+                pos += 1
+            pend = nxt
+        return results
 
     def _walk_lanes(self, problems, lanes):
         INT_MAX = 2**62
@@ -373,6 +431,11 @@ class BandedBatchAligner:
         from ..io import native
 
         K_max = int(max(keeps[i] for i in walk_idx))
+        # quantize the walk kernel's slice-grid length (bounded jit
+        # signatures for arbitrary corpora; leading pad slices have no
+        # active lane, so their grid steps skip the lockstep loop)
+        if K_max > 8:
+            K_max = -(-K_max // 16) * 16
         use_moves = (
             jax.default_backend() != "cpu"
             and self.tables.k_in <= 4
@@ -685,7 +748,7 @@ class BandedBatchAligner:
         return cols_tab, band_tab
 
     # ------------------------------------------------------------- device round
-    def _run_round(self, problems, codes, seq_lens, requests, S_max):
+    def _dispatch_round(self, problems, codes, seq_lens, requests, S_max):
         nreq = len(requests)
         B = max(8, 1 << (nreq - 1).bit_length())
         sel = np.zeros(B, dtype=np.int64)
@@ -772,6 +835,11 @@ class BandedBatchAligner:
             Nm=self.Nm,
             Cm=self.Cm,
         )
+        return (out, requests, start, steps, bw)
+
+    def _finish_round(self, pend) -> _Round:
+        """Block on a dispatched round's control triple and wrap it."""
+        out, requests, start, steps, bw = pend
         rnd = _Round(
             lanes=[r[0] for r in requests],
             start_slice=start,
@@ -927,18 +995,33 @@ class BandedBatchAligner:
         return table
 
     def _band_orders(self, start_node, accepted, bandwidths):
+        """Replay the reference's band-insertion-order chain (needed for
+        min_score_index tie-breaking): each slice's projection consumes
+        the previous slice's insertion ORDER plus the device-computed
+        scores, mapped from topo-sorted slot order by an argsort."""
         g = self.graph
-        prev = _ProjShim([start_node], {start_node: 0}, {start_node: 0}, 0)
+        topo = self.tables.topo_rank
+        nodes = [start_node]
+        nmin = np.zeros(1, dtype=np.int64)
+        nend = np.zeros(1, dtype=np.int64)
+        mins = 0
         orders = []
         for rec, bwv in zip(accepted, bandwidths):
-            order = project_forward_from_min_score(g, prev, bwv)
-            dev = set(int(x) for x in rec.band_ids())
-            assert set(order) == dev, (
+            order = project_forward_from_arrays(g, nodes, nmin, nend, mins, bwv)
+            orders.append(order)
+            tie = rec.rnd.tie_data[rec.step, :, :, rec.lane_in_round]
+            order_arr = np.asarray(order, dtype=np.int64)
+            k = len(order_arr)
+            perm = np.argsort(topo[order_arr], kind="stable")
+            assert np.array_equal(order_arr[perm], tie[0, :k]), (
                 f"host/device band mismatch at slice {rec.slice_i}"
             )
-            orders.append(order)
-            nm = rec.node_min_map(self.tables)
-            prev = _ProjShim(order, nm, rec.node_end_map(), rec.min_score)
+            inv = np.empty(k, dtype=np.int64)
+            inv[perm] = np.arange(k)
+            nodes = order_arr
+            nmin = tie[1, :k][inv]
+            nend = tie[2, :k][inv]
+            mins = rec.min_score
         return orders
 
     def _reconstruct(

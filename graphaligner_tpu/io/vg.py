@@ -406,3 +406,46 @@ class SnarlTraversal(Message):
 class Translation(Message):
     FIELDS = ((1, "from_", Path), (2, "to", Path))
     __slots__ = _slots(FIELDS)
+
+
+# -- fast constructors ------------------------------------------------------
+# The generic Message.__init__ walks FIELDS with isinstance checks per
+# call; alignment output builds ~500 messages per read, making it a
+# measurable share of pipeline time. Compile a specialized __init__ per
+# class (one assignment per field) once at import.
+_MISSING = object()
+
+
+def _compile_init(cls):
+    names = [name for _, name, _ in cls.FIELDS]
+    sig = ", ".join(f"{n}=_MISSING" for n in names)
+    lines = [f"def __init__(self, {sig}):"]
+    for _, name, kind in cls.FIELDS:
+        if isinstance(kind, list):
+            default = "[]"
+        elif isinstance(kind, type) or (
+            isinstance(kind, str) and kind.startswith("msg_self")
+        ):
+            default = "None"
+        elif kind == "string":
+            default = "''"
+        elif kind == "bytes":
+            default = "b''"
+        elif kind == "bool":
+            default = "False"
+        elif kind == "double":
+            default = "0.0"
+        else:
+            default = "0"
+        lines.append(
+            f"    self.{name} = {default} if {name} is _MISSING else {name}"
+        )
+    if not cls.FIELDS:
+        lines.append("    pass")
+    ns = {"_MISSING": _MISSING}
+    exec("\n".join(lines), ns)
+    cls.__init__ = ns["__init__"]
+
+
+for _cls in list(Message.__subclasses__()):
+    _compile_init(_cls)

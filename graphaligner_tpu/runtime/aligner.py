@@ -92,8 +92,10 @@ def align_reads(
         except ValueError as e:
             log(f"device engine unavailable ({e}); falling back to oracle")
     elif backend == "jax":
+        # seeded mode pipelines device chunks inside get_traces; feed it
+        # large waves so chunk k+1's scan overlaps chunk k's host work
         return _align_reads_seeded_batched(
-            params, graph, fastqs, seed_hits, log, output_dir, device_batch
+            params, graph, fastqs, seed_hits, log, output_dir, max(device_batch, 4096)
         )
 
     backend_kwargs = {}
