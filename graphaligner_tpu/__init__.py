@@ -31,3 +31,27 @@ problems on the TPU VPU — 64×batch cells per vector op.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compile_cache():
+    """Best-effort persistent XLA compilation cache: the engine compiles
+    one executable per (batch, slice-count, band) shape bucket, each
+    20-40s on the TPU backend; caching makes them one-time per machine.
+    Honors JAX_COMPILATION_CACHE_DIR; off if jax is configured already."""
+    import os
+
+    try:
+        import jax
+
+        path = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.cache/graphaligner_tpu_xla"),
+        )
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - jax absent or too old
+        pass
+
+
+_enable_persistent_compile_cache()

@@ -267,9 +267,15 @@ class BandedBatchAligner:
         n = len(problems)
         S_max = max(1, max(len(seq) // WORD_SIZE for seq, _ in problems))
         # quantize the compiled scan length so arbitrary corpora hit a
-        # bounded set of jit signatures (excess slices are masked out)
+        # bounded set of jit signatures (excess slices are masked out):
+        # powers of two up to 128, multiples of 32 above (the TPU backend
+        # compiles each signature in ~20-40s and its executables do not
+        # persist across processes)
         if S_max > 8:
-            S_max = -(-S_max // 16) * 16
+            if S_max <= 128:
+                S_max = 1 << (S_max - 1).bit_length()
+            else:
+                S_max = -(-S_max // 32) * 32
         lanes = [
             _LaneState(num_slices=len(seq) // WORD_SIZE) for seq, _ in problems
         ]
@@ -435,7 +441,10 @@ class BandedBatchAligner:
         # signatures for arbitrary corpora; leading pad slices have no
         # active lane, so their grid steps skip the lockstep loop)
         if K_max > 8:
-            K_max = -(-K_max // 16) * 16
+            if K_max <= 128:
+                K_max = 1 << (K_max - 1).bit_length()
+            else:
+                K_max = -(-K_max // 32) * 32
         use_moves = (
             jax.default_backend() != "cpu"
             and self.tables.k_in <= 4
