@@ -43,6 +43,10 @@ def _enable_persistent_compile_cache():
     try:
         import jax
 
+        # CPU only: the remote-TPU backend cannot serialize executables,
+        # and the attempt adds ~50s to every compile
+        if "cpu" not in os.environ.get("JAX_PLATFORMS", ""):
+            return
         path = os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",
             os.path.expanduser("~/.cache/graphaligner_tpu_xla"),

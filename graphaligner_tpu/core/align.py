@@ -349,13 +349,30 @@ def merge_alignments(
         return second
     if not second.alignment.path.mapping:
         return first
+    fa = first.alignment
+    # shallow merge: a fresh Alignment/Path with a fresh mapping LIST
+    # (shared Mapping objects — both pieces are discarded by callers);
+    # the old decode(encode()) deep copy cost ~2ms per long read
+    merged = vg.Alignment(
+        sequence=fa.sequence,
+        name=fa.name,
+        quality=fa.quality,
+        mapping_quality=fa.mapping_quality,
+        score=fa.score + second.alignment.score,
+        query_position=fa.query_position,
+        path=vg.Path(
+            name=fa.path.name,
+            mapping=list(fa.path.mapping),
+            is_circular=fa.path.is_circular,
+            length=fa.path.length,
+        ),
+    )
     result = AlignmentResult(
-        alignment=vg.Alignment.decode(first.alignment.encode()),
+        alignment=merged,
         alignment_failed=False,
         cells_processed=first.cells_processed + second.cells_processed,
         elapsed_milliseconds=first.elapsed_milliseconds + second.elapsed_milliseconds,
     )
-    result.alignment.score = first.alignment.score + second.alignment.score
     start = 0
     first_end = first.alignment.path.mapping[-1].position
     second_start = second.alignment.path.mapping[0].position

@@ -266,16 +266,22 @@ class BandedBatchAligner:
         fetch in _finish_run blocks)."""
         n = len(problems)
         S_max = max(1, max(len(seq) // WORD_SIZE for seq, _ in problems))
-        # quantize the compiled scan length so arbitrary corpora hit a
-        # bounded set of jit signatures (excess slices are masked out):
-        # powers of two up to 128, multiples of 32 above (the TPU backend
-        # compiles each signature in ~20-40s and its executables do not
-        # persist across processes)
-        if S_max > 8:
-            if S_max <= 128:
-                S_max = 1 << (S_max - 1).bit_length()
-            else:
-                S_max = -(-S_max // 32) * 32
+        # quantize the compiled scan length to a small bucket ladder (the
+        # TPU backend compiles each signature in ~20-40s with no cross-
+        # process cache; runtime is proportional to the bucket, and
+        # sorted chunks keep the true length near it): {32}, multiples of
+        # 32 to 160, then x2.
+        if S_max <= 32:
+            S_max = 32
+        elif S_max <= 96:
+            S_max = 96
+        elif S_max <= 160:
+            S_max = 160
+        else:
+            cap = 160
+            while cap < S_max:
+                cap *= 2
+            S_max = cap
         lanes = [
             _LaneState(num_slices=len(seq) // WORD_SIZE) for seq, _ in problems
         ]
@@ -437,14 +443,16 @@ class BandedBatchAligner:
         from ..io import native
 
         K_max = int(max(keeps[i] for i in walk_idx))
-        # quantize the walk kernel's slice-grid length (bounded jit
-        # signatures for arbitrary corpora; leading pad slices have no
+        # quantize the walk kernel's slice-grid length to the same tiny
+        # signature ladder as the scan (leading pad slices have no
         # active lane, so their grid steps skip the lockstep loop)
-        if K_max > 8:
-            if K_max <= 128:
-                K_max = 1 << (K_max - 1).bit_length()
-            else:
-                K_max = -(-K_max // 32) * 32
+        if K_max > 32:
+            cap = 160
+            while cap < K_max:
+                cap *= 2
+            K_max = cap
+        else:
+            K_max = 32
         use_moves = (
             jax.default_backend() != "cpu"
             and self.tables.k_in <= 4
@@ -759,7 +767,9 @@ class BandedBatchAligner:
     # ------------------------------------------------------------- device round
     def _dispatch_round(self, problems, codes, seq_lens, requests, S_max):
         nreq = len(requests)
-        B = max(8, 1 << (nreq - 1).bit_length())
+        # two batch buckets only (compile cost, see _start_run)
+        B = 32 if nreq <= 32 else 256
+        assert nreq <= B, (nreq, "chunk_size must stay <= 256")
         sel = np.zeros(B, dtype=np.int64)
         start = np.zeros(B, dtype=np.int32)
         steps = np.zeros(B, dtype=np.int32)
@@ -1010,6 +1020,28 @@ class BandedBatchAligner:
         scores, mapped from topo-sorted slot order by an argsort."""
         g = self.graph
         topo = self.tables.topo_rank
+        from ..io import native
+        from .params import ALTERNATE_METHOD_CUTOFF
+
+        if native.get_lib() is not None and accepted:
+            tie = np.stack(
+                [
+                    rec.rnd.tie_data[rec.step, :, :, rec.lane_in_round]
+                    for rec in accepted
+                ]
+            )  # [K, 3, Nm]
+            orders = native.band_orders(
+                tie,
+                [rec.min_score for rec in accepted],
+                list(bandwidths),
+                start_node,
+                g,
+                topo,
+                ALTERNATE_METHOD_CUTOFF,
+                int(EMPTY),
+            )
+            if orders is not None:
+                return [list(o) for o in orders]
         nodes = [start_node]
         nmin = np.zeros(1, dtype=np.int64)
         nend = np.zeros(1, dtype=np.int64)

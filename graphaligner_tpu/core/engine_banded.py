@@ -734,7 +734,6 @@ def _banded_scan(
         )
         return n_carry, ys
 
-    xs = (bandwidth, jax.lax.iota(jnp.int32, S_max))
     carry0 = (
         init_ids.T,
         init_cell_send.T,
@@ -742,6 +741,15 @@ def _banded_scan(
         init_node_end.T,
         init_min,
     )
+    # NOTE on shape strategy: S_max here is a compiled capacity; the
+    # scan runs all S_max steps (inactive lanes/slices are masked). A
+    # lax.cond-gated early exit was tried (compile tripled to ~150s per
+    # signature on the non-caching remote TPU compiler) and a while_loop
+    # writing output buffers from its carry (copied the multi-hundred-MB
+    # cols buffer every step). Instead the caller quantizes S_max to a
+    # small bucket ladder and sorts problems by length so each chunk's
+    # true length sits near its bucket.
+    xs = (bandwidth, jax.lax.iota(jnp.int32, S_max))
     _, ys = jax.lax.scan(slice_step, carry0, xs)
     (
         band_ids,
@@ -771,7 +779,7 @@ def _banded_scan(
             [min_score, num_cells, overflow.astype(_jnp.int32)], axis=1
         ),  # [S, 3, B]
         # [S, 7, Cm, B]: vp_lo vp_hi vn_lo vn_hi sbs send e
-        "cols": __import__("jax").numpy.stack(cols, axis=1),
+        "cols": _jnp.stack(cols, axis=1),
         "sends": sends,  # [S, Cm, B] per-cell last-row scores
         "lens_tab": lens_tab,  # [S, Nm, B] per-slot node lengths
         "pred_tab": pred_tab,  # [S, Nm, B] packed pred (slot|valid<<5)<<6k

@@ -102,45 +102,55 @@ def trace_to_alignment(
         return empty_alignment(INT_MAX, cells_processed)
     # truncate at the dummy end node
     stop = len(nodes)
-    for j in range(k, len(nodes)):
-        if nodes[j] == graph.dummy_node_end:
-            stop = j
-            break
-    runs = list(range(k, stop))
-    first = runs[0]
-    mapping = vg.Mapping(
-        position=vg.Position(
-            node_id=int(graph.node_ids[nodes[first]]),
-            is_reverse=bool(graph.reverse[nodes[first]]),
-            offset=int(trace[starts[first], 0] - graph.node_start[nodes[first]]),
-        ),
-        rank=0,
-    )
-    aln.path.mapping.append(mapping)
-    bt_before_row = int(trace[starts[first], 1])
-    for idx, run in enumerate(runs):
-        s, e = starts[run], ends[run]
-        last = idx == len(runs) - 1
-        w_start, w_end = int(trace[s, 0]), int(trace[e, 0])
-        r_end = int(trace[e, 1])
-        from_len = w_end - w_start + (0 if last else 1)
-        to_len = r_end - bt_before_row
-        mapping.edit.append(
-            vg.Edit(
-                from_length=from_len,
-                to_length=to_len,
-                sequence=sequence[int(trace[s, 1]) : int(trace[s, 1]) + to_len],
-            )
-        )
-        if not last:
-            nxt = runs[idx + 1]
-            bt_before_row = r_end
-            mapping = vg.Mapping(
-                position=vg.Position(
-                    node_id=int(graph.node_ids[nodes[nxt]]),
-                    is_reverse=bool(graph.reverse[nodes[nxt]]),
+    hits = np.nonzero(nodes[k:] == graph.dummy_node_end)[0]
+    if len(hits):
+        stop = k + int(hits[0])
+    # per-run scalars, converted from numpy in bulk (per-element item
+    # reads are ~30x slower than one .tolist())
+    nr = stop - k
+    s_idx, e_idx = starts[k:stop], ends[k:stop]
+    node_run = nodes[k:stop]
+    w_start = trace[s_idx, 0]
+    w_end = trace[e_idx, 0]
+    r_start = trace[s_idx, 1].tolist()
+    r_end_a = trace[e_idx, 1]
+    from_len = w_end - w_start + 1
+    from_len[-1] -= 1
+    to_len = np.empty(nr, dtype=np.int64)
+    to_len[0] = r_end_a[0] - trace[s_idx[0], 1]
+    to_len[1:] = r_end_a[1:] - r_end_a[:-1]
+    from_len = from_len.tolist()
+    to_len = to_len.tolist()
+    node_id_l = graph.node_ids[node_run].tolist()
+    rev_l = graph.reverse[node_run].tolist()
+    first_off = int(trace[s_idx[0], 0] - graph.node_start[node_run[0]])
+    mappings = aln.path.mapping
+    Mapping, Position, Edit = vg.Mapping, vg.Position, vg.Edit
+    for idx in range(nr):
+        if idx == 0:
+            m = Mapping(
+                position=Position(
+                    node_id=node_id_l[0],
+                    is_reverse=bool(rev_l[0]),
+                    offset=first_off,
                 ),
-                rank=idx + 1,
+                rank=0,
             )
-            aln.path.mapping.append(mapping)
+        else:
+            m = Mapping(
+                position=Position(
+                    node_id=node_id_l[idx], is_reverse=bool(rev_l[idx])
+                ),
+                rank=idx,
+            )
+        tl = to_len[idx]
+        rs = r_start[idx]
+        m.edit = [
+            Edit(
+                from_length=from_len[idx],
+                to_length=tl,
+                sequence=sequence[rs : rs + tl],
+            )
+        ]
+        mappings.append(m)
     return AlignmentResult(aln, False, cells_processed, INT_MAX)

@@ -103,6 +103,16 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.ga_band_orders.restype = ctypes.c_int
+    lib.ga_band_orders.argtypes = [
+        i32p, i32p, i32p, i32p, i32p,  # band/min/end/min_scores/bandwidths
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # K, Nm, start_node
+        i64p, i32p, i64p, i32p,  # out_ptr, out_idx, node_len, topo_rank
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,  # N, cutoff, EMPTY
+        i32p, i32p,  # orders_out, counts_out
+    ]
     _lib = lib
     return _lib
 
@@ -241,3 +251,50 @@ def decode_moves(moves, start_w, start_row, node_start, node_end, pos_to_node,
     if n < 0:
         raise ValueError("malformed move stream")
     return np.stack([out_w[:n], out_r[:n]], axis=1)
+
+
+def band_orders(tie, min_scores, bandwidths, start_node, graph, topo_rank,
+                cutoff, empty):
+    """Replay the band-insertion-order chain natively.
+
+    tie: [K, 3, Nm] int32 (band_ids, node_min, node_end) device rows.
+    Returns list of K per-slice insertion orders (int32 arrays), or None
+    when the library is unavailable. Raises AssertionError on a
+    device/host band mismatch (same contract as the Python replay)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    tie = np.asarray(tie, dtype=np.int32)
+    K, _, Nm = tie.shape
+    # each plane must be CONTIGUOUS before handing its pointer to C
+    band = np.ascontiguousarray(tie[:, 0])
+    nmin = np.ascontiguousarray(tie[:, 1])
+    nend = np.ascontiguousarray(tie[:, 2])
+    min_scores = np.ascontiguousarray(min_scores, dtype=np.int32)
+    bandwidths = np.ascontiguousarray(bandwidths, dtype=np.int32)
+    out_ptr = np.ascontiguousarray(graph.out_ptr, dtype=np.int64)
+    out_idx = np.ascontiguousarray(graph.out_idx, dtype=np.int32)
+    node_len = np.ascontiguousarray(graph.node_len, dtype=np.int64)
+    topo_rank = np.ascontiguousarray(topo_rank, dtype=np.int32)
+    orders = np.empty((K, Nm), dtype=np.int32)
+    counts = np.empty(K, dtype=np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.ga_band_orders(
+        band.ctypes.data_as(i32p),
+        nmin.ctypes.data_as(i32p),
+        nend.ctypes.data_as(i32p),
+        min_scores.ctypes.data_as(i32p),
+        bandwidths.ctypes.data_as(i32p),
+        K, Nm, int(start_node),
+        out_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_idx.ctypes.data_as(i32p),
+        node_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        topo_rank.ctypes.data_as(i32p),
+        graph.node_count, int(cutoff), int(empty),
+        orders.ctypes.data_as(i32p),
+        counts.ctypes.data_as(i32p),
+    )
+    assert rc != 1, "host/device band mismatch"
+    if rc != 0:
+        return None  # capacity overflow -> let the caller fall back
+    return [orders[k, : counts[k]] for k in range(K)]

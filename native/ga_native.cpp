@@ -10,10 +10,13 @@
 //
 // Build: make -C native (g++ -O3 -shared -fPIC, links zlib).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <queue>
 #include <string>
+#include <tuple>
 #include <vector>
 #include <zlib.h>
 
@@ -371,6 +374,120 @@ int64_t ga_decode_moves(const uint32_t* moves, int64_t n_words,
     int64_t tr = out_r[i]; out_r[i] = out_r[j]; out_r[j] = tr;
   }
   return n;
+}
+
+// ---------------------------------------------------------------------------
+// Band-insertion-order chain replay (counterpart of
+// core/batch_align.py::_band_orders / core/band.py).
+//
+// Replays projectForwardFromMinScore (reference GraphAligner.h:1110-1159)
+// slice by slice, consuming the device-recorded per-node (min, end)
+// scores. The insertion ORDER determines the reference's Tarjan
+// tie-breaking for min_score_index, so seeding order and heap push
+// counters are replicated exactly. Also differentially checks the host
+// band set against the device band (topo-sorted slot rows).
+//
+// Inputs (one lane):
+//   band_ids/node_min/node_end: [K * Nm] device tie rows, slice-major
+//   min_scores:                 [K] per-slice minimum
+//   bandwidths:                 [K]
+//   out_ptr[N+1] int64, out_idx[E] int32, node_len[N] int64,
+//   topo_rank[N] int32
+// Outputs:
+//   orders_out: [K * Nm] node indices, slice-major; counts_out: [K]
+// Returns 0 ok; 1 device/host band mismatch; 2 capacity overflow.
+// ---------------------------------------------------------------------------
+int ga_band_orders(const int32_t* band_ids, const int32_t* node_min,
+                   const int32_t* node_end, const int32_t* min_scores,
+                   const int32_t* bandwidths, int64_t K, int64_t Nm,
+                   int64_t start_node, const int64_t* out_ptr,
+                   const int32_t* out_idx, const int64_t* node_len,
+                   const int32_t* topo_rank, int64_t num_nodes,
+                   int64_t cutoff, int32_t empty_sentinel,
+                   int32_t* orders_out, int32_t* counts_out) {
+  const int WORD = 64;
+  std::vector<int32_t> nodes(1, (int32_t)start_node);
+  std::vector<int32_t> nmin(1, 0), nend(1, 0);
+  int32_t mins = 0;
+  // epoch-stamped distance map over graph nodes
+  std::vector<int32_t> dist(num_nodes, 0);
+  std::vector<int32_t> stamp(num_nodes, -1);
+  // min-heap of (priority, counter, node)
+  typedef std::tuple<int32_t, int32_t, int32_t> Entry;
+  std::priority_queue<Entry, std::vector<Entry>, std::greater<Entry> > heap;
+  std::vector<int32_t> order;
+  std::vector<int32_t> perm;
+  for (int64_t k = 0; k < K; k++) {
+    int32_t bw = bandwidths[k];
+    int32_t expand = bw + WORD;
+    order.clear();
+    while (!heap.empty()) heap.pop();
+    int32_t counter = 0;
+    int64_t width = 0;
+    bool truncated = false;
+    for (size_t j = 0; j < nodes.size() && !truncated; j++) {
+      if (nmin[j] > mins + bw) continue;
+      int32_t node = nodes[j];
+      stamp[node] = (int32_t)(2 * k);
+      dist[node] = 0;
+      order.push_back(node);
+      width += node_len[node];
+      if (width >= cutoff) { truncated = true; break; }
+      if (nend[j] > mins + expand) continue;
+      int32_t pri = nend[j] - mins + 1;
+      for (int64_t e = out_ptr[node]; e < out_ptr[node + 1]; e++) {
+        heap.push(Entry(pri, ++counter, out_idx[e]));
+      }
+    }
+    if (order.empty()) return 1;  // assert distances (band.py)
+    while (!heap.empty() && !truncated) {
+      Entry top = heap.top();
+      heap.pop();
+      int32_t pri = std::get<0>(top);
+      int32_t node = std::get<2>(top);
+      if (pri > expand) break;
+      if (stamp[node] == (int32_t)(2 * k) && dist[node] <= pri) continue;
+      stamp[node] = (int32_t)(2 * k);
+      dist[node] = pri;
+      order.push_back(node);
+      width += node_len[node];
+      if (width >= cutoff) { truncated = true; break; }
+      int32_t size = (int32_t)node_len[node];
+      for (int64_t e = out_ptr[node]; e < out_ptr[node + 1]; e++) {
+        heap.push(Entry(pri + size, ++counter, out_idx[e]));
+      }
+    }
+    int64_t n = (int64_t)order.size();
+    if (n > Nm) return 2;
+    // check against the device band (slot rows are topo-rank sorted)
+    perm.resize(n);
+    for (int64_t j = 0; j < n; j++) perm[j] = (int32_t)j;
+    const int32_t* tr = topo_rank;
+    const std::vector<int32_t>& ord = order;
+    std::sort(perm.begin(), perm.end(),
+              [tr, &ord](int32_t a, int32_t b) {
+                return tr[ord[a]] < tr[ord[b]];
+              });
+    const int32_t* brow = band_ids + k * Nm;
+    for (int64_t j = 0; j < n; j++) {
+      if (brow[j] != order[perm[j]]) return 1;
+    }
+    if (n < Nm && brow[n] != empty_sentinel) return 1;
+    // record + advance: scores of order[perm[j]] live in slot j
+    for (int64_t j = 0; j < n; j++) orders_out[k * Nm + j] = order[j];
+    counts_out[k] = (int32_t)n;
+    nodes = order;
+    nmin.resize(n);
+    nend.resize(n);
+    const int32_t* mrow = node_min + k * Nm;
+    const int32_t* erow = node_end + k * Nm;
+    for (int64_t j = 0; j < n; j++) {
+      nmin[perm[j]] = mrow[j];
+      nend[perm[j]] = erow[j];
+    }
+    mins = min_scores[k];
+  }
+  return 0;
 }
 
 }  // extern "C"

@@ -1,0 +1,74 @@
+"""Differential test: native band-order replay == oracle insertion orders.
+
+The batched pipeline's min_score_index tie-break replays the reference's
+projectForwardFromMinScore insertion-order chain in C++
+(native/ga_native.cpp ga_band_orders). The pipeline falls back silently
+to the Python replay when the native path errors, so this test pins the
+native path itself against the oracle's recorded per-slice node orders
+(SliceScores.nodes IS the insertion order)."""
+
+import numpy as np
+import pytest
+
+from graphaligner_tpu.core.align import _pad_to_word, get_table
+from graphaligner_tpu.core.engine_banded import build_graph_tables
+from graphaligner_tpu.core.oracle import make_initial_slice_one_node
+from graphaligner_tpu.core.params import ALTERNATE_METHOD_CUTOFF, WORD_SIZE
+from graphaligner_tpu.graph import load_alignment_graph
+from graphaligner_tpu.io import load_fastq, native
+from graphaligner_tpu.runtime.aligner import load_seed_hits
+
+from pathlib import Path
+
+FIX = Path(__file__).parent / "fixtures"
+
+
+@pytest.mark.parametrize(
+    "graph_file,reads_file,seeds_file,idx",
+    [
+        ("sim/bubbles.vg", "sim/sim.fastq", "sim/seeds.gam", 0),
+        ("sim/bubbles.vg", "sim/sim.fastq", "sim/seeds.gam", 7),
+        ("longsim/graph.vg", "longsim/reads.fastq", "longsim/seeds.gam", 3),
+    ],
+)
+def test_native_band_orders_match_oracle(graph_file, reads_file, seeds_file, idx):
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    graph = load_alignment_graph(str(FIX / graph_file))
+    reads = load_fastq(str(FIX / reads_file))
+    seeds = load_seed_hits(str(FIX / seeds_file), [r.seq_id for r in reads])
+    tables = build_graph_tables(graph)
+    topo = tables.topo_rank
+    r = reads[idx]
+    nid, pos, rev = seeds[r.seq_id][0]
+    fw_node = graph.node_lookup[nid * 2 + (1 if rev else 0)]
+    seq = _pad_to_word(r.sequence[pos:])
+    init = make_initial_slice_one_node(graph, fw_node)
+    table = get_table(graph, seq, init, len(seq) // WORD_SIZE, 35, 0)
+    slices = table.slices[1:]
+    K, Nm = len(slices), 32
+    assert K >= 1
+    tie = np.zeros((K, 3, Nm), np.int32)
+    for k, sl in enumerate(slices):
+        oa = np.asarray(list(sl.nodes))
+        n = len(oa)
+        assert n <= Nm
+        perm = np.argsort(topo[oa], kind="stable")
+        srt = oa[perm]
+        tie[k, 0, :n] = srt
+        tie[k, 0, n:] = 2**31 - 1
+        tie[k, 1, :n] = [sl.node_min[int(x)] for x in srt]
+        tie[k, 2, :n] = [sl.node_end_score(int(x)) for x in srt]
+    orders = native.band_orders(
+        tie,
+        [sl.min_score for sl in slices],
+        table.bandwidth_per_slice[:K],
+        fw_node,
+        graph,
+        topo,
+        ALTERNATE_METHOD_CUTOFF,
+        int(2**31 - 1),
+    )
+    assert orders is not None
+    for k in range(K):
+        assert list(orders[k]) == list(slices[k].nodes), f"slice {k}"
