@@ -1142,7 +1142,7 @@ def align_reads_seeded_batch(
         get_trace_info,
         merge_alignments,
     )
-    from .result import AlignmentResult, LazyTrace, empty_alignment
+    from .result import AlignmentResult, LazyAlignment, LazyTrace, empty_alignment
 
     def as_arr(t):
         return np.asarray(t, dtype=np.int64).reshape(-1, 2)
@@ -1277,21 +1277,26 @@ def align_reads_seeded_batch(
                 g, sq, [tuple(x) for x in b], [tuple(x) for x in f]
             )
         )
-        fwresult = trace_ops.trace_to_alignment(
-            graph, seq_id, sequence, fw_score, fw_trace, 0
-        )
-        bwresult = trace_ops.trace_to_alignment(
-            graph, seq_id, sequence, bw_score, bw_trace, 0
-        )
-        if fwresult.alignment_failed and bwresult.alignment_failed:
+        fw_runs = trace_ops.trace_to_runs(graph, fw_trace)
+        bw_runs = trace_ops.trace_to_runs(graph, bw_trace)
+        if fw_runs is None and bw_runs is None:
             results[seq_id] = empty_alignment(elapsed, 0)
             continue
-        result = merge_alignments(graph, bwresult, fwresult)
-        result.trace = trace_vector
+        score = (bw_score if bw_runs is not None else 0) + (
+            fw_score if fw_runs is not None else 0
+        )
+        runs = trace_ops.merge_runs(graph, bw_runs, fw_runs)
         last_aligned = int(bw_trace[0][1]) if len(bw_trace) else best_seed[1]
-        result.alignment.query_position = last_aligned
+        result = AlignmentResult(
+            alignment=LazyAlignment(
+                graph, seq_id, sequence, score, last_aligned, runs
+            ),
+            alignment_failed=False,
+            cells_processed=0,
+            elapsed_milliseconds=elapsed,
+        )
+        result.trace = trace_vector
         result.alignment_start = last_aligned
         result.alignment_end = result.alignment_start + est
-        result.elapsed_milliseconds = elapsed
         results[seq_id] = result
     return results

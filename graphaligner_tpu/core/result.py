@@ -80,3 +80,81 @@ def empty_alignment(elapsed_ms: int, cells_processed: int) -> AlignmentResult:
         cells_processed=cells_processed,
         elapsed_milliseconds=elapsed_ms,
     )
+
+
+class LazyAlignment:
+    """Deferred vg.Alignment: holds merged per-mapping run ARRAYS and
+    materializes the message object (or its wire bytes) only when
+    something actually reads the path — object construction costs
+    ~1-3ms per long read and the batched pipeline often only needs the
+    score. Attribute-compatible with vg.Alignment for every consumer in
+    the runtime (score/name/sequence/query_position/path/encode)."""
+
+    __slots__ = ("name", "sequence", "score", "query_position", "_graph", "_runs", "_obj")
+
+    def __init__(self, graph, name, sequence, score, query_position, runs):
+        self.name = name
+        self.sequence = sequence
+        self.score = score
+        self.query_position = query_position
+        self._graph = graph
+        self._runs = runs
+        self._obj = None
+
+    def _build(self) -> vg.Alignment:
+        if self._obj is None:
+            aln = vg.Alignment(
+                name=self.name,
+                sequence=self.sequence,
+                score=self.score,
+                query_position=self.query_position,
+                path=vg.Path(),
+            )
+            r = self._runs
+            if r is not None:
+                node_id = r["node_id"].tolist()
+                rev = r["rev"].tolist()
+                offsets = r["offsets"].tolist()
+                ranks = r["ranks"].tolist()
+                from_len = r["from_len"].tolist()
+                to_len = r["to_len"].tolist()
+                rstart = r["rstart"].tolist()
+                seq = self.sequence
+                Mapping, Position, Edit = vg.Mapping, vg.Position, vg.Edit
+                mappings = aln.path.mapping
+                for i in range(len(node_id)):
+                    tl = to_len[i]
+                    rs = rstart[i]
+                    m = Mapping(
+                        position=Position(
+                            node_id=node_id[i],
+                            offset=offsets[i],
+                            is_reverse=bool(rev[i]),
+                        ),
+                        rank=ranks[i],
+                        edit=[
+                            Edit(
+                                from_length=from_len[i],
+                                to_length=tl,
+                                sequence=seq[rs : rs + tl],
+                            )
+                        ],
+                    )
+                    mappings.append(m)
+            self._obj = aln
+        return self._obj
+
+    @property
+    def path(self):
+        return self._build().path
+
+    def encode(self) -> bytes:
+        return self._build().encode()
+
+    def __repr__(self):
+        return repr(self._build())
+
+    def __eq__(self, other):
+        if isinstance(other, LazyAlignment):
+            other = other._build()
+        return self._build() == other

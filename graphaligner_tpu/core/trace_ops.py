@@ -154,3 +154,66 @@ def trace_to_alignment(
         ]
         mappings.append(m)
     return AlignmentResult(aln, False, cells_processed, INT_MAX)
+
+
+def trace_to_runs(graph: AlignmentGraph, trace: np.ndarray):
+    """Per-mapping run arrays of a forward trace (the array core of
+    trace_to_alignment, without building vg objects): dict with
+    node_idx/node_id/rev/offsets/ranks/from_len/to_len/rstart arrays,
+    or None when the trace is empty / all-dummy (alignment failed)."""
+    if len(trace) == 0:
+        return None
+    starts, nodes = trace_node_runs(graph, trace)
+    ends = np.concatenate([starts[1:], [len(trace)]]) - 1
+    k = 0
+    while k < len(nodes) and nodes[k] == graph.dummy_node_start:
+        k += 1
+    if k == len(nodes) or nodes[k] == graph.dummy_node_end:
+        return None
+    stop = len(nodes)
+    hits = np.nonzero(nodes[k:] == graph.dummy_node_end)[0]
+    if len(hits):
+        stop = k + int(hits[0])
+    s_idx, e_idx = starts[k:stop], ends[k:stop]
+    node_run = nodes[k:stop]
+    nr = stop - k
+    w_start = trace[s_idx, 0]
+    w_end = trace[e_idx, 0]
+    r_end = trace[e_idx, 1]
+    from_len = w_end - w_start + 1
+    from_len[-1] -= 1
+    to_len = np.empty(nr, dtype=np.int64)
+    to_len[0] = r_end[0] - trace[s_idx[0], 1]
+    to_len[1:] = r_end[1:] - r_end[:-1]
+    offsets = np.zeros(nr, dtype=np.int64)
+    offsets[0] = trace[s_idx[0], 0] - graph.node_start[node_run[0]]
+    return {
+        "node_idx": node_run,
+        "node_id": graph.node_ids[node_run],
+        "rev": graph.reverse[node_run],
+        "offsets": offsets,
+        "ranks": np.arange(nr, dtype=np.int64),
+        "from_len": from_len,
+        "to_len": to_len,
+        "rstart": trace[s_idx, 1],
+    }
+
+
+def merge_runs(graph: AlignmentGraph, bw, fw):
+    """Concatenate backward+forward run arrays (mergeAlignments,
+    GraphAligner.h:648-688, on arrays). bw/fw: dict | None."""
+    if bw is None:
+        return fw
+    if fw is None:
+        return bw
+    start = 0
+    if (
+        bw["node_id"][-1] == fw["node_id"][0]
+        and bw["rev"][-1] == fw["rev"][0]
+    ):
+        start = 1
+    merged = {
+        key: np.concatenate([bw[key], fw[key][start:]])
+        for key in bw
+    }
+    return merged
