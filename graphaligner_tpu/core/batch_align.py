@@ -77,7 +77,9 @@ class _Round:
         pred_tab_dev,  # [S, Nm, B] device packed (slot|valid<<5)<<6k
         cols_dev,  # [S, 7, Cm, B] device
         sends_dev,  # [S, Cm, B] device
+        tie16_dev=None,  # [S, Nm, B] device packed score deltas
     ):
+        self.tie16_dev = tie16_dev
         self.lanes = lanes
         self.start_slice = start_slice
         self.num_steps = num_steps
@@ -128,6 +130,22 @@ class _Round:
     @property
     def node_end(self) -> np.ndarray:
         return self.tie_data[:, 2]
+
+    @property
+    def tie16(self) -> np.ndarray:
+        """[S, Nm, B] packed (node_min_delta | node_end_delta<<16) —
+        the compressed band-replay scores (one quarter of tie_data)."""
+        return self._lazy("tie16")
+
+    @property
+    def tie_ids_sub(self) -> np.ndarray:
+        """[ceil(S/8), Nm, B] band ids of every 8th slice, for the
+        subsampled host/device band differential check."""
+        arr = self._host.get("ids_sub")
+        if arr is None:
+            arr = np.asarray(self.band_ids_dev[::8])
+            self._host["ids_sub"] = arr
+        return arr
 
     @property
     def lens_tab(self) -> np.ndarray:
@@ -672,8 +690,10 @@ class BandedBatchAligner:
                 continue
             orders = self._band_orders(problems[i][1], accepted, lane.bandwidths[:keep])
             order = orders[-1]
-            o2, l2, f2 = _cell_layout(self.tables, rec.band_ids())
-            cell_of = {int(n): (int(f), int(L)) for n, f, L in zip(o2, f2, l2)}
+            cell_of = {
+                int(n): (int(f), int(L))
+                for n, f, L in zip(order2, offs2, lens2)
+            }
             best = rec.min_score
             last = None
             comps = _banded_tarjan(g, list(order), {n: True for n in order})
@@ -871,6 +891,7 @@ class BandedBatchAligner:
             pred_tab_dev=out["pred_tab"],
             cols_dev=out["cols"],
             sends_dev=out["sends"],
+            tie16_dev=out["tie16"],
         )
         rnd._bw = bw
         rnd._carry_from = [r[2] for r in requests]
@@ -1024,12 +1045,20 @@ class BandedBatchAligner:
         from .params import ALTERNATE_METHOD_CUTOFF
 
         if native.get_lib() is not None and accepted:
-            tie = np.stack(
-                [
-                    rec.rnd.tie_data[rec.step, :, :, rec.lane_in_round]
-                    for rec in accepted
-                ]
-            )  # [K, 3, Nm]
+            K = len(accepted)
+            Nm = self.Nm
+            tie = np.zeros((K, 3, Nm), np.int32)
+            check = np.zeros(K, np.uint8)
+            for k, rec in enumerate(accepted):
+                t16 = rec.rnd.tie16[rec.step, :, rec.lane_in_round]
+                ms = rec.min_score
+                tie[k, 1] = (t16 & 0xFFFF) + ms
+                tie[k, 2] = ((t16 >> 16) & 0xFFFF) + ms
+                if rec.step % 8 == 0:
+                    tie[k, 0] = rec.rnd.tie_ids_sub[
+                        rec.step // 8, :, rec.lane_in_round
+                    ]
+                    check[k] = 1
             orders = native.band_orders(
                 tie,
                 [rec.min_score for rec in accepted],
@@ -1039,6 +1068,7 @@ class BandedBatchAligner:
                 topo,
                 ALTERNATE_METHOD_CUTOFF,
                 int(EMPTY),
+                check,
             )
             if orders is not None:
                 return [list(o) for o in orders]

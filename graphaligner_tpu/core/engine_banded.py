@@ -231,6 +231,9 @@ def _banded_scan(
             seed_exp, p_node_end_bn - p_min[:, None] + 1, jnp.int32(INF_PRI)
         ).astype(jnp.int32)
 
+        E = Nm + Nm * K_out
+        iota_e = jax.lax.iota(jnp.int32, E)
+
         def body(state):
             ids, pri, outp, over, it, _ = state
             cand_id = gather_node(out_nbrs, ids, -1)  # [B, Nm, K_out]
@@ -252,22 +255,29 @@ def _banded_scan(
                 rank * PRI_RANGE + all_pri,
                 I32MAX,
             )
-            key, s_id, s_pri, s_outp = jax.lax.sort(
-                (key, all_id, all_pri, all_outp), num_keys=1
-            )
-            first = jnp.concatenate(
-                [jnp.ones((B, 1), bool), s_id[:, 1:] != s_id[:, :-1]], axis=1
-            )
-            keep = first & (key < I32MAX)
+            # rank-select compaction (lax.sort's bitonic network is the
+            # projection's hot op at this width; pairwise compares over
+            # E=Nm(1+K_out) entries are cheaper): keep each node's first
+            # minimal-key entry, then its output slot = #kept entries
+            # with a smaller key (keys of distinct kept nodes are
+            # distinct since the node rank dominates the key).
+            samemat = all_id[:, :, None] == all_id[:, None, :]  # [B, E(i), E(j)]
+            keymat = jnp.where(samemat, key[:, None, :], I32MAX)
+            minkey = jnp.min(keymat, axis=2)
+            first_j = jnp.argmax(keymat == minkey[:, :, None], axis=2)
+            keep = (key < I32MAX) & (first_j == iota_e[None, :])
             over = over | (jnp.sum(keep, axis=1) > Nm)
-            key2 = jnp.where(keep, key, I32MAX)
-            key2, s_id, s_pri, s_outp = jax.lax.sort(
-                (key2, s_id, s_pri, s_outp), num_keys=1
-            )
-            ok = key2[:, :Nm] < I32MAX
-            n_ids = jnp.where(ok, s_id[:, :Nm], EMPTY)
-            n_pri = jnp.where(ok, s_pri[:, :Nm], INF_PRI)
-            n_outp = jnp.where(ok, s_outp[:, :Nm], INF_PRI)
+            pos = jnp.sum(
+                (key[:, None, :] < key[:, :, None]) & keep[:, None, :],
+                axis=2,
+            )  # [B, E]
+            oh = (pos[:, :, None] == jax.lax.iota(jnp.int32, Nm)[None, None, :]) & keep[
+                :, :, None
+            ]  # [B, E, Nm]
+            got = jnp.any(oh, axis=1)
+            n_ids = jnp.where(got, jnp.sum(jnp.where(oh, all_id[:, :, None], 0), axis=1), EMPTY)
+            n_pri = jnp.where(got, jnp.sum(jnp.where(oh, all_pri[:, :, None], 0), axis=1), INF_PRI)
+            n_outp = jnp.where(got, jnp.sum(jnp.where(oh, all_outp[:, :, None], 0), axis=1), INF_PRI)
             changed = jnp.any((n_ids != ids) | (n_pri != pri))
             return (n_ids, n_pri, n_outp, over, it + 1, changed)
 
@@ -765,7 +775,15 @@ def _banded_scan(
     ) = ys
     import jax.numpy as _jnp
 
+    # packed per-slot score deltas for the host band-order replay: the
+    # qualification/expansion thresholds live within ~bw+128 of the slice
+    # minimum, so 16 bits per score (clamped) quarters the tie-break
+    # transfer vs full int32 node_min+node_end+ids
+    nmin_d = _jnp.clip(node_min - min_score[:, None, :], 0, 32767)
+    nend_d = _jnp.clip(node_end - min_score[:, None, :], 0, 32767)
+
     return {
+        "tie16": nmin_d | (nend_d << 16),  # [S, Nm, B]
         "band_ids": band_ids,  # [S, Nm, B]
         "node_min": node_min,  # [S, Nm, B]
         "node_end": node_end,  # [S, Nm, B] last cell's last-row score

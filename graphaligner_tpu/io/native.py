@@ -111,6 +111,7 @@ def get_lib():
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # K, Nm, start_node
         i64p, i32p, i64p, i32p,  # out_ptr, out_idx, node_len, topo_rank
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,  # N, cutoff, EMPTY
+        ctypes.POINTER(ctypes.c_uint8),  # check_mask
         i32p, i32p,  # orders_out, counts_out
     ]
     _lib = lib
@@ -254,7 +255,7 @@ def decode_moves(moves, start_w, start_row, node_start, node_end, pos_to_node,
 
 
 def band_orders(tie, min_scores, bandwidths, start_node, graph, topo_rank,
-                cutoff, empty):
+                cutoff, empty, check_mask=None):
     """Replay the band-insertion-order chain natively.
 
     tie: [K, 3, Nm] int32 (band_ids, node_min, node_end) device rows.
@@ -291,6 +292,9 @@ def band_orders(tie, min_scores, bandwidths, start_node, graph, topo_rank,
         node_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         topo_rank.ctypes.data_as(i32p),
         graph.node_count, int(cutoff), int(empty),
+        (np.ascontiguousarray(check_mask, dtype=np.uint8).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8))
+         if check_mask is not None else None),
         orders.ctypes.data_as(i32p),
         counts.ctypes.data_as(i32p),
     )

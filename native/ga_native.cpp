@@ -404,6 +404,7 @@ int ga_band_orders(const int32_t* band_ids, const int32_t* node_min,
                    const int32_t* out_idx, const int64_t* node_len,
                    const int32_t* topo_rank, int64_t num_nodes,
                    int64_t cutoff, int32_t empty_sentinel,
+                   const uint8_t* check_mask,
                    int32_t* orders_out, int32_t* counts_out) {
   const int WORD = 64;
   std::vector<int32_t> nodes(1, (int32_t)start_node);
@@ -468,11 +469,13 @@ int ga_band_orders(const int32_t* band_ids, const int32_t* node_min,
               [tr, &ord](int32_t a, int32_t b) {
                 return tr[ord[a]] < tr[ord[b]];
               });
-    const int32_t* brow = band_ids + k * Nm;
-    for (int64_t j = 0; j < n; j++) {
-      if (brow[j] != order[perm[j]]) return 1;
+    if (check_mask == nullptr || check_mask[k]) {
+      const int32_t* brow = band_ids + k * Nm;
+      for (int64_t j = 0; j < n; j++) {
+        if (brow[j] != order[perm[j]]) return 1;
+      }
+      if (n < Nm && brow[n] != empty_sentinel) return 1;
     }
-    if (n < Nm && brow[n] != empty_sentinel) return 1;
     // record + advance: scores of order[perm[j]] live in slot j
     for (int64_t j = 0; j < n; j++) orders_out[k * Nm + j] = order[j];
     counts_out[k] = (int32_t)n;
