@@ -58,3 +58,78 @@ def shard_reads_aligner(graph, mesh, axis: str = "dp"):
         )
 
     return ba, run
+
+
+def shard_banded_scan(graph, mesh, Nm: int = 8, Cm: int = 64, axis: str = "dp"):
+    """One banded DP round (core.engine_banded._banded_scan) sharded over
+    the mesh: the problem batch is split along `axis` via shard_map, the
+    graph tables are replicated, and every lane's band scan runs entirely
+    on its device (zero collectives — the multi-chip layout mirrors the
+    reference's independent per-thread reads, Aligner.cpp:290).
+
+    Returns (tables, run) where run(codes, seq_lens, steps, start, bw,
+    *seed_carry, S_max=...) -> the banded_scan output dict with the batch
+    axis sharded."""
+    import functools
+
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:  # newer jax
+        from jax import shard_map
+
+    from ..core.engine import _MATCH_TABLE
+    from ..core.engine_banded import _banded_scan, build_graph_tables
+
+    tables = build_graph_tables(graph)
+
+    def run(codes, seq_lens, steps, start, bw, init_ids, init_send,
+            init_nmin, init_nend, init_min, *, S_max: int):
+        fn = functools.partial(
+            _banded_scan, S_max=S_max, Nm=Nm, Cm=Cm, use_pallas=False
+        )
+        rep = P()
+        in_specs = (
+            (rep,) * 6  # graph tables, replicated
+            + (P(axis), P(axis), P(axis), P(axis), P(None, axis))
+            + (P(axis), P(axis), P(axis), P(axis), P(axis))
+            + (rep,)  # match table
+        )
+        out_specs = {
+            "tie16": P(None, None, axis),
+            "band_ids": P(None, None, axis),
+            "node_min": P(None, None, axis),
+            "node_end": P(None, None, axis),
+            "min_score": P(None, axis),
+            "num_cells": P(None, axis),
+            "overflow": P(None, axis),
+            "control": P(None, None, axis),
+            "cols": P(None, None, None, axis),
+            "sends": P(None, None, axis),
+            "lens_tab": P(None, None, axis),
+            "pred_tab": P(None, None, axis),
+        }
+        sm = shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
+        import jax.numpy as jnp
+
+        args = tuple(jnp.asarray(a) for a in tables.device_args()) + (
+            jnp.asarray(codes),
+            jnp.asarray(seq_lens),
+            jnp.asarray(steps),
+            jnp.asarray(start),
+            jnp.asarray(bw),
+            jnp.asarray(init_ids),
+            jnp.asarray(init_send),
+            jnp.asarray(init_nmin),
+            jnp.asarray(init_nend),
+            jnp.asarray(init_min),
+            jnp.asarray(_MATCH_TABLE),
+        )
+        return jax.jit(sm)(*args)
+
+    return tables, run
