@@ -438,7 +438,7 @@ class BandedBatchAligner:
             removed.append(len(corr))
             keeps[i] = len(corr)
             if len(corr) == 0:
-                results[i] = (INT_MAX, [], 0)
+                results[i] = (INT_MAX, [], 0, 0)
         walk_idx = [
             i
             for i, lane in enumerate(lanes)
@@ -520,7 +520,10 @@ class BandedBatchAligner:
                 continue
             arr = arr[-2::-1]  # drop the row -1 terminator, forward order
             score = lane.accepted[int(keeps[i]) - 1].min_score
-            results[i] = (score, arr, int(keeps[i]))
+            cells = sum(
+                r.num_cells for r in lane.accepted[: int(keeps[i])]
+            ) * WORD_SIZE
+            results[i] = (score, arr, int(keeps[i]), cells)
 
     def _walk_moves(self, problems, lanes, keeps, walk_idx, starts, results, K_max):
         """Move-encoded Pallas walk + native C++ decode: ~6KB of 4-bit
@@ -619,7 +622,10 @@ class BandedBatchAligner:
                 lane.failed = True
                 continue
             score = lane.accepted[int(keeps[i]) - 1].min_score
-            results[i] = (score, arr, int(keeps[i]))
+            cells = sum(
+                r.num_cells for r in lane.accepted[: int(keeps[i])]
+            ) * WORD_SIZE
+            results[i] = (score, arr, int(keeps[i]), cells)
 
     def _gather_final_sends(self, lanes, keeps):
         """One batched device gather + fetch of every walk lane's final
@@ -1242,6 +1248,7 @@ def align_reads_seeded_batch(
         for s, seed, fw_i, bw_i in wave:
             node_id, pos, reverse = seed
             sequence = s["read"].sequence
+            cells = 0
             fb_needed = (fw_i is not None and walked[fw_i] is None) or (
                 bw_i is not None and walked[bw_i] is None
             )
@@ -1267,12 +1274,14 @@ def align_reads_seeded_batch(
                 bw = (0, np.zeros((0, 2), np.int64))
                 keep_fw = keep_bw = 0
                 if fw_i is not None:
-                    f_score, f_trace, keep_fw = walked[fw_i]
+                    f_score, f_trace, keep_fw, f_cells = walked[fw_i]
+                    cells += f_cells
                     if keep_fw > 0:
                         backtraceable = len(sequence) - pos - graph.dbg_overlap
                         fw = (f_score, trace_ops.trim_trace(f_trace, backtraceable))
                 if bw_i is not None:
-                    b_score, b_trace, keep_bw = walked[bw_i]
+                    b_score, b_trace, keep_bw, b_cells = walked[bw_i]
+                    cells += b_cells
                     if keep_bw > 0:
                         b_trace = trace_ops.trim_trace(b_trace, pos)
                         b_trace = trace_ops.reverse_trace(
@@ -1284,6 +1293,7 @@ def align_reads_seeded_batch(
                         fw = (fw[0], f_shift)
                 trace = (fw, bw)
                 est = (keep_fw + keep_bw) * WORD_SIZE
+            s["cells"] = s.get("cells", 0) + cells
             trace_ops.add_alignment_nodes(graph, s["tried"], trace)
             if s["best"] is None or est > s["best"][0]:
                 s["best"] = (est, trace, seed)
@@ -1322,7 +1332,7 @@ def align_reads_seeded_batch(
                 graph, seq_id, sequence, score, last_aligned, runs
             ),
             alignment_failed=False,
-            cells_processed=0,
+            cells_processed=s.get("cells", 0),
             elapsed_milliseconds=elapsed,
         )
         result.trace = trace_vector

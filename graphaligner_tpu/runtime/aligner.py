@@ -197,6 +197,10 @@ def _align_reads_seeded_batched(
             log(f"read {fastq.seq_id} score {result.alignment.score}")
             if result.alignment.score > len(fastq.sequence) * 0.25:
                 log(f"read {fastq.seq_id} score is poor: {result.alignment.score}")
+            log(
+                f"successfully aligned read {fastq.seq_id} with "
+                f"{result.cells_processed} cells"
+            )
             replace_digraph_node_ids(result.alignment)
             alignments.append(result.alignment)
             name = _safe_filename(fastq.seq_id)
