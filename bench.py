@@ -86,9 +86,23 @@ def main():
     # processes, and each signature costs ~20-40s to build
     align_reads_seeded_batch(graph, aligner, reads, seeds)
 
+    from graphaligner_tpu.io import native
+
     t0 = time.time()
     results = align_reads_seeded_batch(graph, aligner, reads, seeds)
+    # materialize wire-ready GAM payloads (the reference's per-read
+    # traceToAlignment is inside its timed align loop; match that work)
+    rl = [results[r.seq_id] for r in reads]
+    payloads = native.encode_alignments(
+        [r.seq_id for r in reads],
+        [r.sequence for r in reads],
+        [x.alignment.score for x in rl],
+        [x.alignment.query_position for x in rl],
+        [x.alignment._runs for x in rl],
+        div2=True,
+    )
     dt = time.time() - t0
+    assert payloads is not None and all(len(p) > 0 for p in payloads)
     ok = sum(1 for r in results.values() if not r.alignment_failed)
     assert ok == len(reads), f"only {ok}/{len(reads)} aligned"
 

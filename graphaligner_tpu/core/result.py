@@ -158,3 +158,33 @@ class LazyAlignment:
         if isinstance(other, LazyAlignment):
             other = other._build()
         return self._build() == other
+
+
+class PayloadAlignment:
+    """A vg.Alignment held as its serialized wire payload (produced by
+    the native encoder); decodes lazily if something needs the object."""
+
+    __slots__ = ("payload", "_obj")
+
+    def __init__(self, payload: bytes):
+        self.payload = payload
+        self._obj = None
+
+    def _build(self) -> vg.Alignment:
+        if self._obj is None:
+            self._obj = vg.Alignment.decode(self.payload)
+        return self._obj
+
+    def encode(self) -> bytes:
+        return self.payload
+
+    def __getattr__(self, name):
+        return getattr(self._build(), name)
+
+    def __repr__(self):
+        return repr(self._build())
+
+    def __eq__(self, other):
+        if isinstance(other, PayloadAlignment):
+            return self.payload == other.payload
+        return self._build() == other

@@ -302,3 +302,72 @@ def band_orders(tie, min_scores, bandwidths, start_node, graph, topo_rank,
     if rc != 0:
         return None  # capacity overflow -> let the caller fall back
     return [orders[k, : counts[k]] for k in range(K)]
+
+
+def encode_alignments(names, seqs, scores, qposs, runs_list, div2=False):
+    """Serialize vg.Alignment payloads natively from per-lane run arrays.
+
+    runs_list: [dict from core.trace_ops.trace_to_runs | None]; a None
+    entry yields an empty-path alignment payload. Returns [bytes] or
+    None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_enc_ready"):
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.ga_encode_alignments.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.ga_encode_alignments.argtypes = [
+            ctypes.c_char_p, i64p, ctypes.c_char_p, i64p,
+            i64p, i64p, ctypes.c_int64,
+            i64p, i64p, ctypes.POINTER(ctypes.c_uint8), i64p, i64p, i64p,
+            i64p, i64p, ctypes.c_int, i64p,
+        ]
+        lib._enc_ready = True
+    n = len(runs_list)
+    name_blob = "".join(names).encode()
+    name_off = np.zeros(n + 1, np.int64)
+    name_off[1:] = np.cumsum([len(x.encode()) for x in names])
+    seq_blob = "".join(seqs).encode()
+    seq_off = np.zeros(n + 1, np.int64)
+    seq_off[1:] = np.cumsum([len(x) for x in seqs])
+    score_a = np.asarray(scores, np.int64)
+    qpos_a = np.asarray(qposs, np.int64)
+    map_off = np.zeros(n + 1, np.int64)
+    for i, r in enumerate(runs_list):
+        map_off[i + 1] = map_off[i] + (0 if r is None else len(r["node_id"]))
+    M = int(map_off[-1])
+
+    def cat(key, dtype):
+        out = np.empty(M, dtype)
+        for i, r in enumerate(runs_list):
+            if r is not None:
+                out[map_off[i] : map_off[i + 1]] = r[key]
+        return out
+
+    node_id = cat("node_id", np.int64)
+    offset = cat("offsets", np.int64)
+    rev = cat("rev", np.uint8)
+    rank = cat("ranks", np.int64)
+    from_len = cat("from_len", np.int64)
+    to_len = cat("to_len", np.int64)
+    rstart = cat("rstart", np.int64)
+    out_off = np.zeros(n + 1, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    ptr = lib.ga_encode_alignments(
+        name_blob, name_off.ctypes.data_as(i64p),
+        seq_blob, seq_off.ctypes.data_as(i64p),
+        score_a.ctypes.data_as(i64p), qpos_a.ctypes.data_as(i64p), n,
+        node_id.ctypes.data_as(i64p), offset.ctypes.data_as(i64p),
+        rev.ctypes.data_as(u8p), rank.ctypes.data_as(i64p),
+        from_len.ctypes.data_as(i64p), to_len.ctypes.data_as(i64p),
+        rstart.ctypes.data_as(i64p), map_off.ctypes.data_as(i64p),
+        1 if div2 else 0, out_off.ctypes.data_as(i64p),
+    )
+    if not ptr:
+        return None
+    try:
+        blob = ctypes.string_at(ptr, int(out_off[-1]))
+    finally:
+        lib.ga_free(ptr)
+    return [blob[out_off[i] : out_off[i + 1]] for i in range(n)]

@@ -170,10 +170,19 @@ def walk_moves_kernel(
             oh = iota_64 == r[None, :]
             return jnp.sum(jnp.where(oh, tab, 0), axis=0)
 
-        def read_col(cols_blk, cell):
+        # fields actually consumed by the walk: 0-4 feed col_value, 6
+        # carries scoreBeforeExists+code; 5 (send) is only ever read from
+        # the PREVIOUS slice by prev_value. Skipping unused [Cm, Bb]
+        # masked sums halves the per-lockstep-step vector work.
+        WALK_FIELDS = (0, 1, 2, 3, 4, 6)
+
+        def read_col(cols_blk, cell, fields=WALK_FIELDS):
             oh = iota_cm == cell[None, :]
+            zero = jnp.zeros(Bb, jnp.int32)
             return [
                 jnp.sum(jnp.where(oh, cols_blk[0, f], 0), axis=0)
+                if f in fields
+                else zero
                 for f in range(7)
             ]
 
@@ -199,15 +208,17 @@ def walk_moves_kernel(
 
         def prev_value(node_id, off, default):
             """Score at (slice q-1, node, off, row 63): the previous
-            slice's last row, or the synthetic initial slice when q==1."""
+            slice's last row, or the synthetic initial slice when q==1.
+            Reads ONLY field 5 (send) of the previous slice's columns."""
             eqp = (band_p == node_id[None, :]) & (band_p < np.int32(2**31 - 1))
             found = jnp.any(eqp, axis=0)
             # band ids are unique per slice: one-hot sum replaces argmax
             # (integer argmax is unimplemented in Mosaic)
             pslot = jnp.sum(jnp.where(eqp, iota_nm, 0), axis=0)
             cell = oh_read_nm(offs_p, pslot) + off
-            col = read_col(cols_prev, jnp.clip(cell, 0, Cm - 1))
-            v = jnp.where(found, col[5], default)  # row-63 score == send
+            oh = iota_cm == jnp.clip(cell, 0, Cm - 1)[None, :]
+            send5 = jnp.sum(jnp.where(oh, cols_prev[0, 5], 0), axis=0)
+            v = jnp.where(found, send5, default)  # row-63 score == send
             init_v = jnp.where(node_id == seed_v, 0, default)
             return jnp.where(q == 1, init_v, v)
 
@@ -259,24 +270,38 @@ def walk_moves_kernel(
             n_here = here
             n_col = col
             predw = oh_read_nm(pred_c, slot)
+            pslots = [(predw >> (6 * k)) & 31 for k in range(K_in)]
+            u_offs = [
+                jnp.where(is_start, oh_read_nm(lens_c, pslots[k]) - 1, off - 1)
+                for k in range(K_in)
+            ]
+            u_nodes = [
+                jnp.where(is_start, oh_read_nm(band_c, pslots[k]), node_id)
+                for k in range(K_in)
+            ]
+            # boundary (row 0) values from the previous slice (single-
+            # field reads; a lax.cond scalar guard was tried and cost
+            # more than the reads it skipped)
+            bd = [
+                prev_value(u_nodes[k], u_offs[k], default)
+                for k in range(K_in)
+            ]
+            bd.append(prev_value(node_id, off, default))
             for k in range(K_in):
-                pslot_k = (predw >> (6 * k)) & 31
+                pslot_k = pslots[k]
                 pvalid_k = ((predw >> (6 * k + 5)) & 1) == 1
                 u_slot = jnp.where(is_start, pslot_k, slot)
-                u_off = jnp.where(
-                    is_start, oh_read_nm(lens_c, pslot_k) - 1, off - 1
-                )
+                u_off = u_offs[k]
                 if k == 0:
                     uv = active & (pvalid_k | ~is_start)
                 else:
                     uv = active & is_start & pvalid_k
                 u_cell = oh_read_nm(offs_c, u_slot) + u_off
                 u_col = read_col(cols_cur, jnp.clip(u_cell, 0, Cm - 1))
-                u_node = jnp.where(is_start, oh_read_nm(band_c, pslot_k), node_id)
                 horizontal = jnp.where(uv, col_value(u_col, row_in), INF)
                 take_h = uv & (horizontal == here - 1) & ~decided
                 diag_in = col_value(u_col, row_in - 1)
-                diag_bd = prev_value(u_node, u_off, default)
+                diag_bd = bd[k]
                 diag = jnp.where(row_in == 0, diag_bd, diag_in)
                 d_ok = (matched & (diag == here)) | (
                     ~matched & (diag == here - 1)
@@ -298,8 +323,7 @@ def walk_moves_kernel(
                 n_col = [jnp.where(take, u_col[f], c) for f, c in enumerate(n_col)]
                 decided = decided | take
             vert_in = col_value(col, row_in - 1)
-            vert_bd = prev_value(node_id, off, default)
-            vert = jnp.where(row_in == 0, vert_bd, vert_in)
+            vert = jnp.where(row_in == 0, bd[K_in], vert_in)
             take_v = active & (vert == here - 1) & ~decided
             move = jnp.where(take_v, 2, move)
             n_row = jnp.where(take_v, row_in - 1, n_row)

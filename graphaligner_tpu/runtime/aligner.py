@@ -41,6 +41,31 @@ def write_trace(trace, path: str) -> None:
             )
 
 
+def _finalize_output_alignment(alignment):
+    """Digraph->bigraph id mapping + wire encoding of one result.
+
+    LazyAlignment results (the batched pipeline) encode through the
+    native C++ serializer with the id division fused (~100x the Python
+    object+encode path); everything else takes the object path
+    (replace ids in place, byte-identical either way)."""
+    from ..core.result import LazyAlignment, PayloadAlignment
+    from ..io import native
+
+    if isinstance(alignment, LazyAlignment) and alignment._obj is None:
+        payloads = native.encode_alignments(
+            [alignment.name],
+            [alignment.sequence],
+            [alignment.score],
+            [alignment.query_position],
+            [alignment._runs],
+            div2=True,
+        )
+        if payloads is not None:
+            return PayloadAlignment(payloads[0])
+    replace_digraph_node_ids(alignment)
+    return alignment
+
+
 def _safe_filename(name: str) -> str:
     return name.replace("/", "_").replace(":", "_")
 
@@ -201,12 +226,12 @@ def _align_reads_seeded_batched(
                 f"successfully aligned read {fastq.seq_id} with "
                 f"{result.cells_processed} cells"
             )
-            replace_digraph_node_ids(result.alignment)
-            alignments.append(result.alignment)
+            aln = _finalize_output_alignment(result.alignment)
+            alignments.append(aln)
             name = _safe_filename(fastq.seq_id)
             stream.write_messages(
                 os.path.join(output_dir, f"alignment_0_{name}.gam"),
-                [result.alignment],
+                [aln],
             )
             write_trace(
                 result.trace, os.path.join(output_dir, f"trace_0_{name}.trace")

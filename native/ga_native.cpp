@@ -493,4 +493,123 @@ int ga_band_orders(const int32_t* band_ids, const int32_t* node_min,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// vg.Alignment wire encoder (counterpart of io/vg.py Message.encode for
+// the alignment path of core/trace_ops.py trace_to_runs/merge_runs).
+//
+// Builds serialized vg.Alignment protobuf payloads directly from the
+// batched pipeline's per-mapping run arrays — the Python object layer
+// costs ~1-3ms per long read, this runs in ~10us. Field numbers/order
+// match io/vg.py (Alignment: sequence=1, path=2, name=3, score=6,
+// query_position=7; Path: mapping=2; Mapping: position=1, edit=2,
+// rank=5; Position: node_id=1, offset=2, is_reverse=4; Edit:
+// from_length=1, to_length=2, sequence=3), proto3 defaults skipped.
+// ---------------------------------------------------------------------------
+
+static inline int vlen(uint64_t v) {
+  int n = 1;
+  while (v >= 0x80) { v >>= 7; n++; }
+  return n;
+}
+
+static inline void put_varint(std::string& out, uint64_t v) {
+  while (v >= 0x80) { out.push_back((char)(0x80 | (v & 0x7F))); v >>= 7; }
+  out.push_back((char)v);
+}
+
+static inline void put_tag(std::string& out, int field, int wt) {
+  put_varint(out, (uint64_t)((field << 3) | wt));
+}
+
+// One alignment's encoded size pieces -------------------------------------
+struct MapSizes {
+  int64_t pos_len;   // Position payload bytes
+  int64_t edit_len;  // Edit payload bytes
+  int64_t map_len;   // Mapping payload bytes
+};
+
+// Encode alignments from run arrays. All mapping arrays are the
+// concatenation over lanes; map_off[n+1] delimits each lane's runs.
+// rstart indexes into the lane's sequence. div2 halves node ids
+// (digraph -> bigraph, Aligner.cpp:83-91). Returns a malloc'd buffer
+// (caller frees with ga_free) and fills out_off[n+1] payload offsets.
+uint8_t* ga_encode_alignments(
+    const char* names, const int64_t* name_off,
+    const char* seqs, const int64_t* seq_off,
+    const int64_t* score, const int64_t* qpos, int64_t n,
+    const int64_t* node_id, const int64_t* offset, const uint8_t* rev,
+    const int64_t* rank, const int64_t* from_len, const int64_t* to_len,
+    const int64_t* rstart, const int64_t* map_off,
+    int div2, int64_t* out_off) {
+  std::string out;
+  out.reserve((size_t)(seq_off[n] + map_off[n] * 16 + 64 * n));
+  std::vector<MapSizes> ms;
+  out_off[0] = 0;
+  for (int64_t i = 0; i < n; i++) {
+    int64_t m0 = map_off[i], m1 = map_off[i + 1];
+    ms.resize(m1 - m0);
+    int64_t path_len = 0;
+    for (int64_t m = m0; m < m1; m++) {
+      int64_t nid = div2 ? node_id[m] / 2 : node_id[m];
+      int64_t pos_len = 0;
+      if (nid) pos_len += 1 + vlen((uint64_t)nid);
+      if (offset[m]) pos_len += 1 + vlen((uint64_t)offset[m]);
+      if (rev[m]) pos_len += 2;
+      int64_t edit_len = 0;
+      if (from_len[m]) edit_len += 1 + vlen((uint64_t)from_len[m]);
+      if (to_len[m]) edit_len += 1 + vlen((uint64_t)to_len[m]) +
+                                 1 + vlen((uint64_t)to_len[m]) + to_len[m];
+      // Edit.sequence written iff to_length > 0 (the slice is that long)
+      int64_t map_len = 1 + vlen((uint64_t)pos_len) + pos_len +
+                        1 + vlen((uint64_t)edit_len) + edit_len;
+      if (rank[m]) map_len += 1 + vlen((uint64_t)rank[m]);
+      ms[m - m0] = {pos_len, edit_len, map_len};
+      path_len += 1 + vlen((uint64_t)map_len) + map_len;
+    }
+    int64_t nm_len = name_off[i + 1] - name_off[i];
+    int64_t sq_len = seq_off[i + 1] - seq_off[i];
+    // Alignment fields in number order
+    if (sq_len) {
+      put_tag(out, 1, 2);
+      put_varint(out, (uint64_t)sq_len);
+      out.append(seqs + seq_off[i], (size_t)sq_len);
+    }
+    put_tag(out, 2, 2);
+    put_varint(out, (uint64_t)path_len);
+    const char* seq = seqs + seq_off[i];
+    for (int64_t m = m0; m < m1; m++) {
+      const MapSizes& z = ms[m - m0];
+      put_tag(out, 2, 2);  // Path.mapping
+      put_varint(out, (uint64_t)z.map_len);
+      put_tag(out, 1, 2);  // Mapping.position
+      put_varint(out, (uint64_t)z.pos_len);
+      int64_t nid = div2 ? node_id[m] / 2 : node_id[m];
+      if (nid) { put_tag(out, 1, 0); put_varint(out, (uint64_t)nid); }
+      if (offset[m]) { put_tag(out, 2, 0); put_varint(out, (uint64_t)offset[m]); }
+      if (rev[m]) { put_tag(out, 4, 0); put_varint(out, 1); }
+      put_tag(out, 2, 2);  // Mapping.edit
+      put_varint(out, (uint64_t)z.edit_len);
+      if (from_len[m]) { put_tag(out, 1, 0); put_varint(out, (uint64_t)from_len[m]); }
+      if (to_len[m]) {
+        put_tag(out, 2, 0); put_varint(out, (uint64_t)to_len[m]);
+        put_tag(out, 3, 2); put_varint(out, (uint64_t)to_len[m]);
+        out.append(seq + rstart[m], (size_t)to_len[m]);
+      }
+      if (rank[m]) { put_tag(out, 5, 0); put_varint(out, (uint64_t)rank[m]); }
+    }
+    if (nm_len) {
+      put_tag(out, 3, 2);
+      put_varint(out, (uint64_t)nm_len);
+      out.append(names + name_off[i], (size_t)nm_len);
+    }
+    if (score[i]) { put_tag(out, 6, 0); put_varint(out, (uint64_t)score[i]); }
+    if (qpos[i]) { put_tag(out, 7, 0); put_varint(out, (uint64_t)qpos[i]); }
+    out_off[i + 1] = (int64_t)out.size();
+  }
+  uint8_t* buf = (uint8_t*)malloc(out.size() ? out.size() : 1);
+  if (!buf) return nullptr;
+  memcpy(buf, out.data(), out.size());
+  return buf;
+}
+
 }  // extern "C"
