@@ -249,22 +249,58 @@ class BandedBatchAligner:
         graph: AlignmentGraph,
         initial_bandwidth: int,
         ramp_bandwidth: int,
-        Nm: int = 32,
-        Cm: int = 448,
+        Nm: int | None = None,
+        Cm: int | None = None,
         max_rounds: int = 6,
+        _tables=None,
+        _rev_pos=None,
     ):
         self.graph = graph
-        self.tables = build_graph_tables(graph)
+        self.tables = _tables if _tables is not None else build_graph_tables(graph)
         self.initial_bandwidth = int(initial_bandwidth)
         self.ramp_bandwidth = int(ramp_bandwidth)
-        assert max(self.initial_bandwidth, self.ramp_bandwidth) + WORD_SIZE < 1023
+        ew = max(self.initial_bandwidth, self.ramp_bandwidth) + WORD_SIZE
+        assert ew < 1023
+        if Nm is None:
+            Nm = 32
+        if Cm is None:
+            # cell capacity auto-scaled to the bandwidth (measured
+            # steady-state bands stay under ~1.7x the expansion width in
+            # bp; smaller tight buckets were tried and gained nothing —
+            # per-slice cost is overhead-, not Cm-, dominated). Overflow
+            # retries on the 2x tier (get_traces).
+            Cm = 448
+            while Cm < 2.2 * ew:
+                Cm *= 2
         self.Nm = Nm
         self.Cm = Cm
         self.max_rounds = max_rounds
-        from .trace_ops import build_reverse_pos
+        if _rev_pos is not None:
+            self.rev_pos = _rev_pos
+        else:
+            from .trace_ops import build_reverse_pos
 
-        self.rev_pos = build_reverse_pos(graph)
+            self.rev_pos = build_reverse_pos(graph)
         self._dev_args = None
+        self._bigger = None
+
+    def _next_tier(self):
+        """The 2x-capacity retry aligner (sharing graph tables), or None
+        when already at the node-slot ceiling (walk packing limit 32)."""
+        if self.Nm >= 32 and self.Cm >= 1792:
+            return None
+        if self._bigger is None:
+            self._bigger = BandedBatchAligner(
+                self.graph,
+                self.initial_bandwidth,
+                self.ramp_bandwidth,
+                Nm=min(self.Nm * 2, 32),
+                Cm=self.Cm * 2 if self.Nm >= 32 else 448,
+                max_rounds=self.max_rounds,
+                _tables=self.tables,
+                _rev_pos=self.rev_pos,
+            )
+        return self._bigger
 
     def _device_args(self):
         # NOTE: plain numpy, not jax.device_put — mixing committed device
@@ -412,6 +448,17 @@ class BandedBatchAligner:
                 results[order[pos]] = r
                 pos += 1
             pend = nxt
+        # lanes that failed at this capacity (band overflow, usually)
+        # retry on the 2x tier before anything falls to the host oracle
+        bigger = self._next_tier()
+        if bigger is not None:
+            retry = [i for i, r in enumerate(results) if r is None]
+            if retry:
+                redo = bigger.get_traces(
+                    [problems[i] for i in retry], chunk_size
+                )
+                for i, r in zip(retry, redo):
+                    results[i] = r
         return results
 
     def _walk_lanes(self, problems, lanes):
