@@ -430,10 +430,17 @@ class BandedBatchAligner:
             key=lambda i: len(problems[i][0]),
             reverse=True,
         )
-        chunks = [
-            [problems[j] for j in order[i : i + chunk_size]]
-            for i in range(0, len(order), chunk_size)
-        ]
+        chunks = []
+        i = 0
+        while i < len(order):
+            # cap each chunk so one round's packed columns stay under
+            # ~1.5GB of HBM (two chunks are in flight); megabase-scale
+            # reads therefore run at a smaller batch instead of OOMing
+            S0 = max(1, len(problems[order[i]][0]) // WORD_SIZE)
+            mem_cap = int(1.5e9 // (S0 * 7 * self.Cm * 4))
+            size = min(chunk_size, max(8, mem_cap))
+            chunks.append([problems[j] for j in order[i : i + size]])
+            i += size
         results: list = [None] * len(problems)
         pend = self._start_run(chunks[0])
         pos = 0
@@ -840,9 +847,9 @@ class BandedBatchAligner:
     # ------------------------------------------------------------- device round
     def _dispatch_round(self, problems, codes, seq_lens, requests, S_max):
         nreq = len(requests)
-        # two batch buckets only (compile cost, see _start_run)
-        B = 32 if nreq <= 32 else 256
-        assert nreq <= B, (nreq, "chunk_size must stay <= 256")
+        # few batch buckets only (compile cost, see _start_run)
+        B = 32 if nreq <= 32 else (256 if nreq <= 256 else 512)
+        assert nreq <= B, (nreq, "chunk_size must stay <= 512")
         sel = np.zeros(B, dtype=np.int64)
         start = np.zeros(B, dtype=np.int32)
         steps = np.zeros(B, dtype=np.int32)
