@@ -93,12 +93,17 @@ def main():
     # materialize wire-ready GAM payloads (the reference's per-read
     # traceToAlignment is inside its timed align loop; match that work)
     rl = [results[r.seq_id] for r in reads]
+    enc = [
+        (r.seq_id, r.sequence, x.alignment)
+        for r, x in zip(reads, rl)
+        if getattr(x.alignment, "_runs", None) is not None
+    ]
     payloads = native.encode_alignments(
-        [r.seq_id for r in reads],
-        [r.sequence for r in reads],
-        [x.alignment.score for x in rl],
-        [x.alignment.query_position for x in rl],
-        [x.alignment._runs for x in rl],
+        [n for n, _, _ in enc],
+        [s for _, s, _ in enc],
+        [a.score for _, _, a in enc],
+        [a.query_position for _, _, a in enc],
+        [a._runs for _, _, a in enc],
         div2=True,
     )
     dt = time.time() - t0
