@@ -35,10 +35,11 @@ TILE = 10  # 100 checked-in reads -> 1000-read benchmark corpus
 
 
 def measure_reference_baseline():
-    """Re-measure the reference binary live if available (align-only:
-    sum of its per-read 'took Xms' self-reports)."""
+    """Re-measure the reference binary live if available. Returns
+    (reads_per_s, cells_per_s) from its per-read 'took Xms' /
+    'with N cells' self-reports (align-only)."""
     if not os.path.exists(REF_BIN):
-        return BASELINE_READS_PER_S
+        return BASELINE_READS_PER_S, None
     try:
         out = subprocess.run(
             [
@@ -49,11 +50,14 @@ def measure_reference_baseline():
             capture_output=True, text=True, timeout=600, cwd="/tmp",
         ).stdout
         ms = [int(m) for m in re.findall(r"took (\d+)ms", out)]
+        cells = [int(m) for m in re.findall(r"with (\d+) cells", out)]
         if ms and sum(ms) > 0:
-            return 1000.0 * len(ms) / sum(ms)
+            rps = 1000.0 * len(ms) / sum(ms)
+            cps = 1000.0 * sum(cells) / sum(ms) if cells else None
+            return rps, cps
     except Exception:
         pass
-    return BASELINE_READS_PER_S
+    return BASELINE_READS_PER_S, None
 
 
 def main():
@@ -113,7 +117,8 @@ def main():
 
     reads_per_s = len(reads) / dt
     bp = sum(len(r.sequence) for r in reads)
-    baseline = measure_reference_baseline()
+    baseline, base_cps = measure_reference_baseline()
+    cells = sum(x.cells_processed for x in rl)
     result = {
         "metric": "reads_per_s",
         "value": round(reads_per_s, 1),
@@ -124,7 +129,11 @@ def main():
             "corpus": f"longsim x{TILE} ({len(reads)} reads, {bp/1e6:.1f} Mbp)",
             "wall_s": round(dt, 2),
             "bp_per_s": round(bp / dt / 1e6, 2),
+            "mcells_per_s": round(cells / dt / 1e6, 1),
             "baseline_reads_per_s": round(baseline, 1),
+            "baseline_mcells_per_s": (
+                round(base_cps / 1e6, 1) if base_cps else None
+            ),
             "device": str(jax.devices()[0]),
         },
     }
