@@ -28,20 +28,33 @@ def get_lib():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_NATIVE_DIR, "ga_native.cpp")
+    stale = not os.path.exists(_LIB_PATH) or (
+        os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    )
+    if stale:
         try:
             subprocess.run(
-                ["make", "-s", "-C", _NATIVE_DIR],
+                ["make", "-s", "-B", "-C", _NATIVE_DIR],
                 check=True,
                 capture_output=True,
                 timeout=120,
             )
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
+        _register(lib)
+    except (OSError, AttributeError):
+        # missing symbol = a stale library from an older source tree
         return None
+    _lib = lib
+    return _lib
+
+
+def _register(lib):
     lib.ga_gunzip.restype = ctypes.POINTER(ctypes.c_uint8)
     lib.ga_gunzip.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)
@@ -114,8 +127,6 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint8),  # check_mask
         i32p, i32p,  # orders_out, counts_out
     ]
-    _lib = lib
-    return _lib
 
 
 def gunzip(data: bytes) -> bytes | None:
