@@ -212,12 +212,6 @@ def _cell_layout(tables: BandedGraphTables, ids: np.ndarray):
     return order, lens, offs
 
 
-def _node_ends_from_cols(tables, ids, cols):
-    order, lens, offs = _cell_layout(tables, ids)
-    ends = cols[offs + lens - 1, 5]
-    return {int(n): int(e) for n, e in zip(order, ends)}
-
-
 @dataclass
 class _LaneState:
     """Literal replay of getSqrtSlices' control variables for one lane
@@ -1230,7 +1224,6 @@ def align_reads_seeded_batch(
         get_piecewise_traces_from_split,
         get_split_alignment,
         get_trace_info,
-        merge_alignments,
     )
     from .result import AlignmentResult, LazyAlignment, LazyTrace, empty_alignment
 
@@ -1298,7 +1291,6 @@ def align_reads_seeded_batch(
         if not wave:
             break
         walked = aligner.get_traces(problems)
-        INT_MAX_L = 2**62
         for s, seed, fw_i, bw_i in wave:
             node_id, pos, reverse = seed
             sequence = s["read"].sequence
