@@ -439,16 +439,19 @@ class BandedBatchAligner:
         pend = self._start_run(chunks[0])
         pos = 0
         for ci, ch in enumerate(chunks):
-            nxt = (
+            lanes = self._finish_run(pend)
+            # dispatch this chunk's walk BEFORE the next chunk's scan so
+            # the walk kernel + its fetches don't queue behind the scan;
+            # the moves fetch and native decode then overlap that scan
+            token = self._walk_dispatch(ch, lanes)
+            pend = (
                 self._start_run(chunks[ci + 1])
                 if ci + 1 < len(chunks)
                 else None
             )
-            lanes = self._finish_run(pend)
-            for r in self._walk_lanes(ch, lanes):
+            for r in self._walk_collect(token):
                 results[order[pos]] = r
                 pos += 1
-            pend = nxt
         # lanes that failed at this capacity (band overflow, usually)
         # retry on the 2x tier before anything falls to the host oracle
         bigger = self._next_tier()
@@ -463,6 +466,27 @@ class BandedBatchAligner:
         return results
 
     def _walk_lanes(self, problems, lanes):
+        return self._walk_collect(self._walk_dispatch(problems, lanes))
+
+    def _walk_collect(self, token):
+        """Fetch + decode a dispatched walk (see _walk_dispatch)."""
+        kind = token[0]
+        if kind == "done":
+            return token[1]
+        if kind == "moves":
+            _, results, mv = token
+            self._walk_moves_collect(mv, results)
+            return results
+        _, results, args = token
+        self._walk_xla(*args, results)
+        return results
+
+    def _walk_dispatch(self, problems, lanes):
+        """Host control tail + DEVICE dispatch of the backtrace walk,
+        WITHOUT blocking on its results: get_traces dispatches the next
+        chunk's scan between this and _walk_collect, so the moves fetch
+        and native decode overlap that scan instead of queueing every
+        walk-side device op behind it."""
         INT_MAX = 2**62
         B = len(lanes)
         results: list = [None] * B
@@ -493,7 +517,7 @@ class BandedBatchAligner:
             if not lane.failed and keeps[i] > 0
         ]
         if not walk_idx:
-            return results
+            return ("done", results)
         final_sends, final_band = self._gather_final_sends(lanes, keeps)
         try:
             starts = self._walk_starts(
@@ -503,7 +527,7 @@ class BandedBatchAligner:
             # host/device band divergence: fall back lane-by-lane
             for i in walk_idx:
                 lanes[i].failed = True
-            return results
+            return ("done", results)
         import jax
 
         from ..io import native
@@ -526,12 +550,13 @@ class BandedBatchAligner:
             and native.get_lib() is not None
         )
         if use_moves:
-            self._walk_moves(problems, lanes, keeps, walk_idx, starts, results, K_max)
-        else:
-            self._walk_xla(problems, lanes, keeps, walk_idx, starts, results, K_max)
-        return results
+            mv = self._walk_moves_dispatch(
+                problems, lanes, keeps, walk_idx, starts, K_max
+            )
+            return ("moves", results, mv)
+        return ("xla", results, (problems, lanes, keeps, walk_idx, starts, K_max))
 
-    def _walk_xla(self, problems, lanes, keeps, walk_idx, starts, results, K_max):
+    def _walk_xla(self, problems, lanes, keeps, walk_idx, starts, K_max, results):
         from .backtrace_device import walk_batch
 
         B = len(lanes)
@@ -573,10 +598,10 @@ class BandedBatchAligner:
             ) * WORD_SIZE
             results[i] = (score, arr, int(keeps[i]), cells)
 
-    def _walk_moves(self, problems, lanes, keeps, walk_idx, starts, results, K_max):
-        """Move-encoded Pallas walk + native C++ decode: ~6KB of 4-bit
-        move codes per 10kb read across the remote-TPU link instead of
-        ~100KB of (position, row) pairs."""
+    def _walk_moves_dispatch(self, problems, lanes, keeps, walk_idx, starts, K_max):
+        """Move-encoded Pallas walk dispatch (collect fetches + decodes):
+        ~6KB of 4-bit move codes per 10kb read across the remote-TPU link
+        instead of ~100KB of (position, row) pairs."""
         from ..io import native
         from ..ops.pallas import walk_moves as wm
 
@@ -639,6 +664,12 @@ class BandedBatchAligner:
             row1(keeps),
             K_in=self.tables.k_in,
         )
+        return (moves_dev, fail_dev, lanes, keeps, walk_idx, sw, K_max)
+
+    def _walk_moves_collect(self, mv, results):
+        from ..io import native
+
+        moves_dev, fail_dev, lanes, keeps, walk_idx, sw, K_max = mv
         moves = np.ascontiguousarray(np.asarray(moves_dev)).view(np.uint32)
         fail = np.asarray(fail_dev)[0]
         t = self.tables
