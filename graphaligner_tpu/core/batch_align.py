@@ -49,10 +49,43 @@ from .engine_banded import (
     build_graph_tables,
     make_seed_carry,
 )
+from . import hmm as _hmm
 from .hmm import CorrectnessState
 from .oracle import SliceScores, _banded_tarjan, make_initial_slice_one_node
 from .params import BACKTRACE_OVERRIDE_CUTOFF, WORD_SIZE
 from ..ops.packing import unpack_deltas_np
+
+
+class _CorrFlags:
+    """Interned (correct_from_correct, false_from_correct,
+    currently_correct) triple: the only facts consumers of a FINISHED
+    lane's correctness chain ever read. Full CorrectnessState objects
+    (with log odds) are needed only while a chain can still be rewound,
+    so the vectorized replay stores these flyweights instead of 150+
+    dataclass instances per lane."""
+
+    __slots__ = ("cc", "ffc", "cur")
+
+    def currently_correct(self):
+        return self.cur
+
+    def correct_from_correct(self):
+        return self.cc
+
+    def false_from_correct(self):
+        return self.ffc
+
+
+_FLAGS_POOL: dict = {}
+
+
+def _corr_flags(cc, ffc, cur):
+    obj = _FLAGS_POOL.get((cc, ffc, cur))
+    if obj is None:
+        obj = _CorrFlags()
+        obj.cc, obj.ffc, obj.cur = cc, ffc, cur
+        _FLAGS_POOL[(cc, ffc, cur)] = obj
+    return obj
 
 
 class _Round:
@@ -366,6 +399,8 @@ class BandedBatchAligner:
                     for t in range(int(rnd.num_steps[pos]))
                 ]
                 lane.cursor = 0
+            if round_no == 0:
+                self._replay_bulk(lanes, requests, rnd)
             requests = []
             for i, lane in enumerate(lanes):
                 if lane.done or lane.failed:
@@ -981,6 +1016,71 @@ class BandedBatchAligner:
         rnd._bw = bw
         rnd._carry_from = [r[2] for r in requests]
         return rnd
+
+    def _replay_bulk(self, lanes, requests, rnd):
+        """Vectorized fast path of the getSqrtSlices replay for round-1
+        'init' lanes: the HMM chain is a per-lane float64 recurrence
+        (bit-identical op order to hmm.CorrectnessState.next_state), so
+        all lanes advance in one numpy sweep. Lanes whose chain hits an
+        overflow, a possible ramping rewind, or any irregularity are
+        left untouched for the literal scalar replay below."""
+        import math
+
+        S, B = rnd.min_score.shape
+        ms = rnd.min_score.astype(np.float64)
+        prev = np.concatenate([np.zeros((1, B)), ms[:-1]], axis=0)
+        delta = np.clip((ms - prev).astype(np.int64), 0, WORD_SIZE)
+        lut = np.asarray(_hmm._LOG_FACTORIALS)
+        log_choose = lut[WORD_SIZE] - lut[delta] - lut[WORD_SIZE - delta]
+        c = np.full(B, math.log(0.8))
+        f = np.full(B, math.log(0.2))
+        CFC = np.zeros((S, B), bool)
+        FFC = np.zeros((S, B), bool)
+        CUR = np.zeros((S, B), bool)
+        for k in range(S):
+            CFC[k] = c + _hmm._CORRECT_TO_CORRECT >= f + _hmm._FALSE_TO_CORRECT
+            FFC[k] = c + _hmm._CORRECT_TO_FALSE >= f + _hmm._FALSE_TO_FALSE
+            nc = np.maximum(
+                c + _hmm._CORRECT_TO_CORRECT, f + _hmm._FALSE_TO_CORRECT
+            )
+            nf = np.maximum(
+                c + _hmm._CORRECT_TO_FALSE, f + _hmm._FALSE_TO_FALSE
+            )
+            d = delta[k]
+            nc = nc + log_choose[k] + d * _hmm._CORRECT_MISMATCH + (
+                WORD_SIZE - d
+            ) * _hmm._CORRECT_MATCH
+            nf = nf + log_choose[k] + d * _hmm._FALSE_MISMATCH + (
+                WORD_SIZE - d
+            ) * _hmm._FALSE_MATCH
+            c, f = nc, nf
+            CUR[k] = c > f
+        ramping = self.ramp_bandwidth > self.initial_bandwidth
+        for pos, (i, st, carry, ramp_until) in enumerate(requests):
+            lane = lanes[i]
+            if carry != "init" or st != 0 or ramp_until != 0:
+                continue
+            n = int(rnd.num_steps[pos])
+            if n == 0 or n < lane.num_slices:
+                continue
+            if rnd.overflow[:n, pos].any():
+                continue  # the scalar replay reports the failure
+            notcfc = ~CFC[:n, pos]
+            stop = int(np.argmax(notcfc)) if notcfc.any() else n
+            if ramping and (~CUR[: min(stop + 1, n), pos]).any():
+                continue  # a rewind may fire; take the literal path
+            recs = lane.chain[:stop]
+            lane.accepted = recs
+            lane.bandwidths = [r.bandwidth for r in recs]
+            lane.corr_list = [
+                _corr_flags(
+                    bool(CFC[k, pos]), bool(FFC[k, pos]), bool(CUR[k, pos])
+                )
+                for k in range(stop)
+            ]
+            lane.cursor = stop
+            lane.slice_i = stop
+            lane.done = True
 
     # ---------------------------------------------------------------- replay
     def _replay(self, lane: _LaneState):
