@@ -1234,16 +1234,34 @@ class BandedBatchAligner:
             Nm = self.Nm
             tie = np.zeros((K, 3, Nm), np.int32)
             check = np.zeros(K, np.uint8)
-            for k, rec in enumerate(accepted):
-                t16 = rec.rnd.tie16[rec.step, :, rec.lane_in_round]
-                ms = rec.min_score
-                tie[k, 1] = (t16 & 0xFFFF) + ms
-                tie[k, 2] = ((t16 >> 16) & 0xFFFF) + ms
-                if rec.step % 8 == 0:
-                    tie[k, 0] = rec.rnd.tie_ids_sub[
-                        rec.step // 8, :, rec.lane_in_round
-                    ]
-                    check[k] = 1
+            r0 = accepted[0]
+            straight = all(
+                rec.rnd is r0.rnd
+                and rec.lane_in_round == r0.lane_in_round
+                and rec.step == k
+                for k, rec in enumerate(accepted)
+            )
+            if straight:
+                # the common no-rewind chain: one contiguous slab view
+                lr = r0.lane_in_round
+                t16 = r0.rnd.tie16[:K, :, lr].astype(np.int64)
+                ms = r0.rnd.min_score[:K, lr].astype(np.int64)[:, None]
+                tie[:, 1] = (t16 & 0xFFFF) + ms
+                tie[:, 2] = ((t16 >> 16) & 0xFFFF) + ms
+                sub = r0.rnd.tie_ids_sub[: (K + 7) // 8, :, lr]
+                tie[: sub.shape[0] * 8 : 8, 0] = sub[: (K + 7) // 8]
+                check[::8] = 1
+            else:
+                for k, rec in enumerate(accepted):
+                    t16 = rec.rnd.tie16[rec.step, :, rec.lane_in_round]
+                    ms = rec.min_score
+                    tie[k, 1] = (t16 & 0xFFFF) + ms
+                    tie[k, 2] = ((t16 >> 16) & 0xFFFF) + ms
+                    if rec.step % 8 == 0:
+                        tie[k, 0] = rec.rnd.tie_ids_sub[
+                            rec.step // 8, :, rec.lane_in_round
+                        ]
+                        check[k] = 1
             orders = native.band_orders(
                 tie,
                 [rec.min_score for rec in accepted],

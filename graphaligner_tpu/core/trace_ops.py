@@ -73,8 +73,13 @@ def add_alignment_nodes(graph: AlignmentGraph, tried: list, traces) -> None:
             continue
         starts, nodes = trace_node_runs(graph, t)
         ends = np.concatenate([starts[1:], [len(t)]]) - 1
-        for s, e, n in zip(starts, ends, nodes):
-            tried.append((int(t[s, 1]), int(t[e, 1]), int(n)))
+        tried.extend(
+            zip(
+                t[starts, 1].tolist(),
+                t[ends, 1].tolist(),
+                nodes.tolist(),
+            )
+        )
 
 
 def trace_to_alignment(
