@@ -287,6 +287,9 @@ def walk_moves_kernel(
                 for k in range(K_in)
             ]
             bd.append(prev_value(node_id, off, default))
+            # k>=1 predecessor columns only exist at node-start cells
+            # (~1 in 12 steps); a SCALAR any() gates those block reads
+            any_start = jnp.any(active & is_start)
             for k in range(K_in):
                 pslot_k = pslots[k]
                 pvalid_k = ((predw >> (6 * k + 5)) & 1) == 1
@@ -297,7 +300,15 @@ def walk_moves_kernel(
                 else:
                     uv = active & is_start & pvalid_k
                 u_cell = oh_read_nm(offs_c, u_slot) + u_off
-                u_col = read_col(cols_cur, jnp.clip(u_cell, 0, Cm - 1))
+                if k == 0:
+                    u_col = read_col(cols_cur, jnp.clip(u_cell, 0, Cm - 1))
+                else:
+                    u_col = jax.lax.cond(
+                        any_start,
+                        lambda c: read_col(cols_cur, c),
+                        lambda c: [jnp.zeros(Bb, jnp.int32)] * 7,
+                        jnp.clip(u_cell, 0, Cm - 1),
+                    )
                 horizontal = jnp.where(uv, col_value(u_col, row_in), INF)
                 take_h = uv & (horizontal == here - 1) & ~decided
                 diag_in = col_value(u_col, row_in - 1)
