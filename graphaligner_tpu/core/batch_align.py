@@ -450,10 +450,23 @@ class BandedBatchAligner:
         in HBM at a time."""
         if not problems:
             return []
+        results: list = [None] * len(problems)
+        for batch in self.get_traces_stream(problems, chunk_size):
+            for i, r in batch.items():
+                results[i] = r
+        return results
+
+    def get_traces_stream(self, problems, chunk_size: int = 256):
+        """Generator form of get_traces: yields {problem_index: result}
+        batches as chunks complete (shortest chunks first, so a read's
+        backward piece is usually ready when its forward chunk lands and
+        the caller can finalize it while later chunks still compute).
+        Failed lanes are withheld until the capacity-retry tier resolves
+        them; the last yielded batch maps the remainder (value None =
+        host fallback needed)."""
         # length-bucketed chunks: a chunk's scan runs max-slices steps for
         # EVERY lane, so mixing a 2-slice backward extension with a
         # 160-slice forward one wastes ~98% of the short lane's scan.
-        # Sorting by length first makes each chunk near-uniform.
         order = sorted(
             range(len(problems)),
             key=lambda i: len(problems[i][0]),
@@ -468,37 +481,43 @@ class BandedBatchAligner:
             S0 = max(1, len(problems[order[i]][0]) // WORD_SIZE)
             mem_cap = int(1.5e9 // (S0 * 7 * self.Cm * 4))
             size = min(chunk_size, max(8, mem_cap))
-            chunks.append([problems[j] for j in order[i : i + size]])
+            chunks.append((order[i : i + size], [problems[j] for j in order[i : i + size]]))
             i += size
-        results: list = [None] * len(problems)
-        pend = self._start_run(chunks[0])
-        pos = 0
-        for ci, ch in enumerate(chunks):
+        chunks.reverse()  # smallest first
+        unresolved: list = []
+        pend = self._start_run(chunks[0][1])
+        for ci, (idxs, ch) in enumerate(chunks):
             lanes = self._finish_run(pend)
             # dispatch this chunk's walk BEFORE the next chunk's scan so
             # the walk kernel + its fetches don't queue behind the scan;
             # the moves fetch and native decode then overlap that scan
             token = self._walk_dispatch(ch, lanes)
             pend = (
-                self._start_run(chunks[ci + 1])
+                self._start_run(chunks[ci + 1][1])
                 if ci + 1 < len(chunks)
                 else None
             )
-            for r in self._walk_collect(token):
-                results[order[pos]] = r
-                pos += 1
+            batch = {}
+            for j, r in zip(idxs, self._walk_collect(token)):
+                if r is None:
+                    unresolved.append(j)
+                else:
+                    batch[j] = r
+            yield batch
         # lanes that failed at this capacity (band overflow, usually)
         # retry on the 2x tier before anything falls to the host oracle
-        bigger = self._next_tier()
-        if bigger is not None:
-            retry = [i for i, r in enumerate(results) if r is None]
-            if retry:
+        final: dict = {}
+        if unresolved:
+            bigger = self._next_tier()
+            if bigger is not None:
                 redo = bigger.get_traces(
-                    [problems[i] for i in retry], chunk_size
+                    [problems[j] for j in unresolved], chunk_size
                 )
-                for i, r in zip(retry, redo):
-                    results[i] = r
-        return results
+            else:
+                redo = [None] * len(unresolved)
+            for j, r in zip(unresolved, redo):
+                final[j] = r
+        yield final
 
     def _walk_lanes(self, problems, lanes):
         return self._walk_collect(self._walk_dispatch(problems, lanes))
@@ -1365,7 +1384,12 @@ def align_reads_seeded_batch(
     logger=None,
 ):
     """reads: [FastQ]; seed_map: seq_id -> [(node_id, pos, reverse)].
-    Returns {seq_id: AlignmentResult} identical to align_one_way_seeded."""
+    Returns {seq_id: AlignmentResult} identical to align_one_way_seeded.
+
+    Chunk results are consumed as they STREAM off the device: each wave
+    entry is assembled the moment both of its extension pieces have
+    walked, and a read with no seeds left is finalized immediately — so
+    the trace/merge/alignment host work overlaps later chunks' scans."""
     import time as _time
 
     from . import trace_ops
@@ -1383,6 +1407,7 @@ def align_reads_seeded_batch(
 
     t0 = _time.time()
     state = {}
+    results: dict = {}
     for r in reads:
         seeds = seed_map.get(r.seq_id, [])
         state[r.seq_id] = {
@@ -1392,6 +1417,96 @@ def align_reads_seeded_batch(
             "tried": [],
             "best": None,  # (estimated, trace, seed)
         }
+
+    def process_entry(s, seed, fw_i, bw_i, walked):
+        """Assemble one wave entry (reference getPiecewiseTracesFromSplit,
+        GraphAligner.h:3040-3098) and fold it into the read's best."""
+        node_id, pos, reverse = seed
+        sequence = s["read"].sequence
+        cells = 0
+        fb_needed = (fw_i is not None and walked[fw_i] is None) or (
+            bw_i is not None and walked[bw_i] is None
+        )
+        if fb_needed:
+            split = get_split_alignment(
+                graph,
+                sequence,
+                node_id,
+                reverse,
+                pos,
+                aligner.initial_bandwidth,
+                aligner.ramp_bandwidth,
+            )
+            (f_sc, f_tr), (b_sc, b_tr) = get_piecewise_traces_from_split(
+                graph, split, sequence
+            )
+            trace = ((f_sc, as_arr(f_tr)), (b_sc, as_arr(b_tr)))
+            est = split.estimated_correctly_aligned()
+        else:
+            fw = (0, np.zeros((0, 2), np.int64))
+            bw = (0, np.zeros((0, 2), np.int64))
+            keep_fw = keep_bw = 0
+            if fw_i is not None:
+                f_score, f_trace, keep_fw, f_cells = walked[fw_i]
+                cells += f_cells
+                if keep_fw > 0:
+                    backtraceable = len(sequence) - pos - graph.dbg_overlap
+                    fw = (f_score, trace_ops.trim_trace(f_trace, backtraceable))
+            if bw_i is not None:
+                b_score, b_trace, keep_bw, b_cells = walked[bw_i]
+                cells += b_cells
+                if keep_bw > 0:
+                    b_trace = trace_ops.trim_trace(b_trace, pos)
+                    b_trace = trace_ops.reverse_trace(
+                        aligner.rev_pos, b_trace, pos - 1
+                    )
+                    bw = (b_score, b_trace)
+                    f_shift = fw[1].copy()
+                    f_shift[:, 1] += pos
+                    fw = (fw[0], f_shift)
+            trace = (fw, bw)
+            est = (keep_fw + keep_bw) * WORD_SIZE
+        s["cells"] = s.get("cells", 0) + cells
+        trace_ops.add_alignment_nodes(graph, s["tried"], trace)
+        if s["best"] is None or est > s["best"][0]:
+            s["best"] = (est, trace, seed)
+
+    def finalize_read(seq_id, s):
+        """The tail of align_one_way_seeded for one read."""
+        elapsed = int((_time.time() - t0) * 1000)
+        if s["best"] is None:
+            return empty_alignment(elapsed, 0)
+        est, trace, best_seed = s["best"]
+        sequence = s["read"].sequence
+        (fw_score, fw_trace), (bw_score, bw_trace) = trace
+        if fw_score >= INT_MAX and bw_score >= INT_MAX:
+            return empty_alignment(elapsed, 0)
+        trace_vector = LazyTrace(
+            lambda g=graph, sq=sequence, b=bw_trace, f=fw_trace: get_trace_info(
+                g, sq, [tuple(x) for x in b], [tuple(x) for x in f]
+            )
+        )
+        fw_runs = trace_ops.trace_to_runs(graph, fw_trace)
+        bw_runs = trace_ops.trace_to_runs(graph, bw_trace)
+        if fw_runs is None and bw_runs is None:
+            return empty_alignment(elapsed, 0)
+        score = (bw_score if bw_runs is not None else 0) + (
+            fw_score if fw_runs is not None else 0
+        )
+        runs = trace_ops.merge_runs(graph, bw_runs, fw_runs)
+        last_aligned = int(bw_trace[0][1]) if len(bw_trace) else best_seed[1]
+        result = AlignmentResult(
+            alignment=LazyAlignment(
+                graph, seq_id, sequence, score, last_aligned, runs
+            ),
+            alignment_failed=False,
+            cells_processed=s.get("cells", 0),
+            elapsed_milliseconds=elapsed,
+        )
+        result.trace = trace_vector
+        result.alignment_start = last_aligned
+        result.alignment_end = result.alignment_start + est
+        return result
 
     active = [s for s in state.values() if s["seeds"]]
     while active:
@@ -1439,99 +1554,25 @@ def align_reads_seeded_batch(
 
         if not wave:
             break
-        walked = aligner.get_traces(problems)
-        for s, seed, fw_i, bw_i in wave:
-            node_id, pos, reverse = seed
-            sequence = s["read"].sequence
-            cells = 0
-            fb_needed = (fw_i is not None and walked[fw_i] is None) or (
-                bw_i is not None and walked[bw_i] is None
-            )
-            if fb_needed:
-                split = get_split_alignment(
-                    graph,
-                    sequence,
-                    node_id,
-                    reverse,
-                    pos,
-                    aligner.initial_bandwidth,
-                    aligner.ramp_bandwidth,
-                )
-                (f_sc, f_tr), (b_sc, b_tr) = get_piecewise_traces_from_split(
-                    graph, split, sequence
-                )
-                trace = ((f_sc, as_arr(f_tr)), (b_sc, as_arr(b_tr)))
-                est = split.estimated_correctly_aligned()
-            else:
-                # piecewise assembly on walked traces (reference
-                # getPiecewiseTracesFromSplit, GraphAligner.h:3040-3098)
-                fw = (0, np.zeros((0, 2), np.int64))
-                bw = (0, np.zeros((0, 2), np.int64))
-                keep_fw = keep_bw = 0
-                if fw_i is not None:
-                    f_score, f_trace, keep_fw, f_cells = walked[fw_i]
-                    cells += f_cells
-                    if keep_fw > 0:
-                        backtraceable = len(sequence) - pos - graph.dbg_overlap
-                        fw = (f_score, trace_ops.trim_trace(f_trace, backtraceable))
-                if bw_i is not None:
-                    b_score, b_trace, keep_bw, b_cells = walked[bw_i]
-                    cells += b_cells
-                    if keep_bw > 0:
-                        b_trace = trace_ops.trim_trace(b_trace, pos)
-                        b_trace = trace_ops.reverse_trace(
-                            aligner.rev_pos, b_trace, pos - 1
-                        )
-                        bw = (b_score, b_trace)
-                        f_shift = fw[1].copy()
-                        f_shift[:, 1] += pos
-                        fw = (fw[0], f_shift)
-                trace = (fw, bw)
-                est = (keep_fw + keep_bw) * WORD_SIZE
-            s["cells"] = s.get("cells", 0) + cells
-            trace_ops.add_alignment_nodes(graph, s["tried"], trace)
-            if s["best"] is None or est > s["best"][0]:
-                s["best"] = (est, trace, seed)
+        walked: dict = {}
+        done_entries = [False] * len(wave)
+        for batch in aligner.get_traces_stream(problems):
+            walked.update(batch)
+            for wi, (s, seed, fw_i, bw_i) in enumerate(wave):
+                if done_entries[wi]:
+                    continue
+                need = [x for x in (fw_i, bw_i) if x is not None]
+                if not all(x in walked for x in need):
+                    continue
+                done_entries[wi] = True
+                process_entry(s, seed, fw_i, bw_i, walked)
+                if s["cursor"] >= len(s["seeds"]):
+                    sid = s["read"].seq_id
+                    results[sid] = finalize_read(sid, s)
+        assert all(done_entries)
         active = [s for s in active if s["cursor"] < len(s["seeds"])]
 
-    # finalize (tail of align_one_way_seeded)
-    results = {}
     for seq_id, s in state.items():
-        elapsed = int((_time.time() - t0) * 1000)
-        if s["best"] is None:
-            results[seq_id] = empty_alignment(elapsed, 0)
-            continue
-        est, trace, best_seed = s["best"]
-        sequence = s["read"].sequence
-        (fw_score, fw_trace), (bw_score, bw_trace) = trace
-        if fw_score >= INT_MAX and bw_score >= INT_MAX:
-            results[seq_id] = empty_alignment(elapsed, 0)
-            continue
-        trace_vector = LazyTrace(
-            lambda g=graph, sq=sequence, b=bw_trace, f=fw_trace: get_trace_info(
-                g, sq, [tuple(x) for x in b], [tuple(x) for x in f]
-            )
-        )
-        fw_runs = trace_ops.trace_to_runs(graph, fw_trace)
-        bw_runs = trace_ops.trace_to_runs(graph, bw_trace)
-        if fw_runs is None and bw_runs is None:
-            results[seq_id] = empty_alignment(elapsed, 0)
-            continue
-        score = (bw_score if bw_runs is not None else 0) + (
-            fw_score if fw_runs is not None else 0
-        )
-        runs = trace_ops.merge_runs(graph, bw_runs, fw_runs)
-        last_aligned = int(bw_trace[0][1]) if len(bw_trace) else best_seed[1]
-        result = AlignmentResult(
-            alignment=LazyAlignment(
-                graph, seq_id, sequence, score, last_aligned, runs
-            ),
-            alignment_failed=False,
-            cells_processed=s.get("cells", 0),
-            elapsed_milliseconds=elapsed,
-        )
-        result.trace = trace_vector
-        result.alignment_start = last_aligned
-        result.alignment_end = result.alignment_start + est
-        results[seq_id] = result
+        if seq_id not in results:
+            results[seq_id] = finalize_read(seq_id, s)
     return results
