@@ -480,7 +480,11 @@ class BandedBatchAligner:
             # reads therefore run at a smaller batch instead of OOMing
             S0 = max(1, len(problems[order[i]][0]) // WORD_SIZE)
             mem_cap = int(1.5e9 // (S0 * 7 * self.Cm * 4))
-            size = min(chunk_size, max(8, mem_cap))
+            # short-read chunks amortize per-chunk fixed costs at a
+            # bigger batch (512 measured ~1.3x faster than 256 for
+            # <=2kb problems; 1024 is slower again)
+            want = 512 if S0 <= 32 and chunk_size <= 512 else chunk_size
+            size = min(want, max(8, mem_cap))
             chunks.append((order[i : i + size], [problems[j] for j in order[i : i + size]]))
             i += size
         chunks.reverse()  # smallest first
@@ -927,8 +931,15 @@ class BandedBatchAligner:
     def _dispatch_round(self, problems, codes, seq_lens, requests, S_max):
         nreq = len(requests)
         # few batch buckets only (compile cost, see _start_run)
-        B = 32 if nreq <= 32 else (256 if nreq <= 256 else 512)
-        assert nreq <= B, (nreq, "chunk_size must stay <= 512")
+        if nreq <= 32:
+            B = 32
+        elif nreq <= 256:
+            B = 256
+        else:
+            B = 512
+            while B < nreq:
+                B *= 2
+        assert nreq <= B
         sel = np.zeros(B, dtype=np.int64)
         start = np.zeros(B, dtype=np.int32)
         steps = np.zeros(B, dtype=np.int32)
