@@ -111,8 +111,10 @@ class _Round:
         cols_dev,  # [S, 7, Cm, B] device
         sends_dev,  # [S, Cm, B] device
         tie16_dev=None,  # [S, Nm, B] device packed score deltas
+        ids_sub_dev=None,  # [ceil(S/8), Nm, B] device
     ):
         self.tie16_dev = tie16_dev
+        self.ids_sub_dev = ids_sub_dev
         self.lanes = lanes
         self.start_slice = start_slice
         self.num_steps = num_steps
@@ -176,7 +178,12 @@ class _Round:
         subsampled host/device band differential check."""
         arr = self._host.get("ids_sub")
         if arr is None:
-            arr = np.asarray(self.band_ids_dev[::8])
+            src = (
+                self.ids_sub_dev
+                if self.ids_sub_dev is not None
+                else self.band_ids_dev[::8]
+            )
+            arr = np.asarray(src)
             self._host["ids_sub"] = arr
         return arr
 
@@ -722,6 +729,12 @@ class BandedBatchAligner:
             row1(keeps),
             K_in=self.tables.k_in,
         )
+        for arr in (moves_dev, fail_dev):
+            if hasattr(arr, "copy_to_host_async"):
+                try:
+                    arr.copy_to_host_async()
+                except Exception:
+                    pass
         return (moves_dev, fail_dev, lanes, keeps, walk_idx, sw, K_max)
 
     def _walk_moves_collect(self, mv, results):
@@ -1024,6 +1037,16 @@ class BandedBatchAligner:
             Nm=self.Nm,
             Cm=self.Cm,
         )
+        # enqueue host copies now: they run right after the scan on the
+        # device timeline and overlap whatever is dispatched next, so the
+        # later np.asarray calls return without paying transfer latency
+        for key in ("control", "tie16", "ids_sub"):
+            arr = out.get(key)
+            if arr is not None and hasattr(arr, "copy_to_host_async"):
+                try:
+                    arr.copy_to_host_async()
+                except Exception:
+                    pass
         return (out, requests, start, steps, bw)
 
     def _finish_round(self, pend) -> _Round:
@@ -1042,6 +1065,7 @@ class BandedBatchAligner:
             cols_dev=out["cols"],
             sends_dev=out["sends"],
             tie16_dev=out["tie16"],
+            ids_sub_dev=out.get("ids_sub"),
         )
         rnd._bw = bw
         rnd._carry_from = [r[2] for r in requests]

@@ -784,6 +784,7 @@ def _banded_scan(
 
     return {
         "tie16": nmin_d | (nend_d << 16),  # [S, Nm, B]
+        "ids_sub": band_ids[::8],  # [ceil(S/8), Nm, B] for the host check
         "band_ids": band_ids,  # [S, Nm, B]
         "node_min": node_min,  # [S, Nm, B]
         "node_end": node_end,  # [S, Nm, B] last cell's last-row score
