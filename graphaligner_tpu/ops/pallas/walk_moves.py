@@ -239,7 +239,15 @@ def walk_moves_kernel(
             active = (sk == q) & ~done & ~fail
 
             cell = oh_read_nm(offs_c, slot) + off
-            fresh = read_col(cols_cur, jnp.clip(cell, 0, Cm - 1))
+            # a fresh column read is only needed on slice-entry steps
+            # (needs_col is set by the slice transition); scalar-gate it
+            any_fresh = jnp.any(active & needs_col)
+            fresh = jax.lax.cond(
+                any_fresh,
+                lambda c: read_col(cols_cur, c),
+                lambda c: [jnp.zeros(Bb, jnp.int32)] * 7,
+                jnp.clip(cell, 0, Cm - 1),
+            )
             col = [
                 jnp.where(active & needs_col, fresh[f], st_ref[8 + f, :])
                 for f in range(7)
