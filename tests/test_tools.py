@@ -249,3 +249,55 @@ def test_maf_to_alignment(tmp_path):
     assert len(alns) == 1
     assert [m.position.node_id for m in alns[0].path.mapping] == [1, 2]
     assert ">read_1" in out_fa.read_text()
+
+
+def test_read_index_to_id(tmp_path):
+    """CSV minimizer hits -> seed GAM (reference ReadIndexToId.cpp:26-71),
+    including the reverse-coordinate flip and (node, read) dedup."""
+    from graphaligner_tpu.tools import read_index_to_id
+
+    fastq = tmp_path / "r.fastq"
+    fastq.write_text("@readA\nACGTACGTAC\n+\n!!!!!!!!!!\n@readB\nTTTTGGGG\n+\n!!!!!!!!\n")
+    csv = tmp_path / "hits.csv"
+    csv.write_text("5,0,3\n5,0,7\n9,1,2\n")
+    out = tmp_path / "seeds.gam"
+    read_index_to_id.main([str(fastq), str(csv), str(out)])
+    alns = stream.read_messages(str(out), vg.Alignment)
+    assert [(a.name, a.query_position, a.path.mapping[0].position.node_id) for a in alns] == [
+        ("readA", 3, 5),  # the duplicate (5, 0) hit is dropped
+        ("readB", 2, 9),
+    ]
+    out2 = tmp_path / "seeds_rev.gam"
+    read_index_to_id.main([str(fastq), str(csv), str(out2), "1"])
+    alns2 = stream.read_messages(str(out2), vg.Alignment)
+    assert alns2[0].query_position == 10 - 3 - 1
+    assert alns2[1].query_position == 8 - 2 - 1
+
+
+def test_supported_subgraph(tmp_path):
+    """Edges kept iff some alignment path traverses them (reference
+    SupportedSubgraph.cpp:27-68)."""
+    from graphaligner_tpu.tools import supported_subgraph
+
+    g = vg.Graph(
+        node=[vg.Node(id=i, sequence="ACGT") for i in (1, 2, 3)],
+        edge=[vg.Edge(from_=1, to=2), vg.Edge(from_=2, to=3)],
+    )
+    gpath = tmp_path / "g.vg"
+    stream.write_messages(str(gpath), [g])
+    aln = vg.Alignment(
+        name="r",
+        path=vg.Path(
+            mapping=[
+                vg.Mapping(position=vg.Position(node_id=1)),
+                vg.Mapping(position=vg.Position(node_id=2)),
+            ]
+        ),
+    )
+    apath = tmp_path / "a.gam"
+    stream.write_messages(str(apath), [aln])
+    out = tmp_path / "out.vg"
+    supported_subgraph.main([str(gpath), str(apath), str(out)])
+    sub = stream.read_messages(str(out), vg.Graph)[0]
+    assert len(sub.node) == 3
+    assert [(e.from_, e.to) for e in sub.edge] == [(1, 2)]
