@@ -95,7 +95,8 @@ class _Round:
     overflow — what the getSqrtSlices replay consumes) is fetched from
     the device eagerly; the multi-MB per-slice tables stay in device HBM
     and materialize host-side lazily, each at most once (the remote-TPU
-    link moves ~10 MB/s, so eager fetches dominated whole-pipeline time)."""
+    link moves ~40 MB/s with ~30ms per fetch, so eager fetches dominated
+    whole-pipeline time)."""
 
     def __init__(
         self,
