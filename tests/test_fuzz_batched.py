@@ -87,3 +87,36 @@ def test_fuzz_batched_matches_oracle(seed):
         mine = vg.Alignment.decode(dev.alignment.encode())
         ref = vg.Alignment.decode(oracle.alignment.encode())
         assert repr(mine) == repr(ref), fq.seq_id
+
+
+def test_fuzz_ramping_multiseed_matches_oracle():
+    """Ramping rewinds + multi-seed waves on a random graph (the
+    heaviest control-flow combination; a 20-graph sweep of this config
+    ran clean during development)."""
+    rng = random.Random(7)
+    graph, nodes = _random_graph(rng)
+    reads, seed_map = [], {}
+    for i in range(4):
+        start = rng.randint(1, 10)
+        truth = _walk_sequence(rng, nodes, start, rng.choice([97, 200]))
+        read = _mutate(rng, truth, 0.08)
+        fq = FastQ(seq_id=f"rm{i}", sequence=read, quality="!" * len(read))
+        reads.append(fq)
+        p1 = rng.randint(0, len(read) - 1)
+        seed_map[fq.seq_id] = [
+            (rng.randint(1, len(nodes)), rng.randint(0, len(read) - 1), False),
+            (start, p1, False),
+        ]
+    aligner = BandedBatchAligner(graph, 12, 20)
+    batch = align_reads_seeded_batch(graph, aligner, reads, seed_map)
+    for fq in reads:
+        oracle = align_one_way_seeded(
+            graph, fq.seq_id, fq.sequence, 12, 20, seed_map[fq.seq_id]
+        )
+        dev = batch[fq.seq_id]
+        assert dev.alignment_failed == oracle.alignment_failed, fq.seq_id
+        if oracle.alignment_failed:
+            continue
+        assert vg.Alignment.decode(dev.alignment.encode()) == vg.Alignment.decode(
+            oracle.alignment.encode()
+        ), fq.seq_id
