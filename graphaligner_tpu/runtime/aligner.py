@@ -186,7 +186,11 @@ def align_reads(
         stream.write_messages(params.alignment_file, alignments)
     if params.auggraph_file:
         graphs = stream.read_messages(params.graph_file, vg.Graph)
-        aug = augment_graph_with_alignments(graphs, alignments)
+        # reference quirk: stream::write_buffered CLEARS the alignment
+        # vector (stream.hpp:54-63), so when -a was also given the
+        # augmented graph is built from an EMPTY list (Aligner.cpp:310-321)
+        aug_input = [] if params.alignment_file else alignments
+        aug = augment_graph_with_alignments(graphs, aug_input)
         stream.write_messages(params.auggraph_file, [aug])
     return alignments
 
@@ -241,7 +245,11 @@ def _align_reads_seeded_batched(
         stream.write_messages(params.alignment_file, alignments)
     if params.auggraph_file:
         graphs = stream.read_messages(params.graph_file, vg.Graph)
-        aug = augment_graph_with_alignments(graphs, alignments)
+        # reference quirk: stream::write_buffered CLEARS the alignment
+        # vector (stream.hpp:54-63), so when -a was also given the
+        # augmented graph is built from an EMPTY list (Aligner.cpp:310-321)
+        aug_input = [] if params.alignment_file else alignments
+        aug = augment_graph_with_alignments(graphs, aug_input)
         stream.write_messages(params.auggraph_file, [aug])
     return alignments
 
@@ -278,6 +286,11 @@ def _align_reads_batched(
     log(f"final result has {len(alignments)} alignments")
     if params.alignment_file:
         stream.write_messages(params.alignment_file, alignments)
+    if params.auggraph_file:
+        graphs = stream.read_messages(params.graph_file, vg.Graph)
+        aug_input = [] if params.alignment_file else alignments
+        aug = augment_graph_with_alignments(graphs, aug_input)
+        stream.write_messages(params.auggraph_file, [aug])
     return alignments
 
 
