@@ -119,9 +119,18 @@ def align_reads(
     elif backend == "jax":
         # seeded mode pipelines device chunks inside get_traces; feed it
         # large waves so chunk k+1's scan overlaps chunk k's host work
-        return _align_reads_seeded_batched(
-            params, graph, fastqs, seed_hits, log, output_dir, max(device_batch, 4096)
-        )
+        try:
+            return _align_reads_seeded_batched(
+                params, graph, fastqs, seed_hits, log, output_dir,
+                max(device_batch, 4096),
+            )
+        except Exception:
+            # the reference isolates failures per read (Aligner.cpp:124-148);
+            # if the batched pipeline dies wholesale, recover through the
+            # per-read host path instead of losing the run
+            log("batched device pipeline failed (exception!); "
+                "falling back to the per-read host path")
+            traceback.print_exc(file=sys.stderr)
 
     backend_kwargs = {}
     if slice_backend is not None:
