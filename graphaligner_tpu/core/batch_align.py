@@ -822,10 +822,39 @@ class BandedBatchAligner:
     def _walk_starts(self, problems, lanes, keeps, walk_idx, final_sends, final_band):
         """Backtrace start position per lane: min_score_index.back() of the
         final surviving slice, with the reference's banded-Tarjan
-        collection order (GraphAligner.h:2359-2366)."""
+        collection order (GraphAligner.h:2359-2366).
+
+        The unique-minimum decision runs VECTORIZED across all lanes
+        (batched node-length/offset layout + min counting); only lanes
+        whose final slice has score ties take the per-lane order replay."""
         g = self.graph
+        t = self.tables
+        widx = np.asarray(walk_idx)
+        fb = final_band[widx]  # [W, Nm]
+        valid = fb != EMPTY
+        lens_w = np.where(valid, t.node_len[np.clip(fb, 0, t.num_nodes - 1)], 0)
+        offs_w = np.cumsum(lens_w, axis=1) - lens_w  # [W, Nm]
+        c_used_w = lens_w.sum(axis=1)
+        best_w = np.array(
+            [lanes[i].accepted[int(keeps[i]) - 1].min_score for i in walk_idx]
+        )
+        sends_w = final_sends[widx]  # [W, Cm]
+        cells_idx = np.arange(sends_w.shape[1])[None, :]
+        is_min = (sends_w == best_w[:, None]) & (cells_idx < c_used_w[:, None])
+        nmins = is_min.sum(axis=1)
+        first_cell = np.argmax(is_min, axis=1)
+        # slot of the min cell: #offsets <= cell, minus one
+        slot_w = (
+            (offs_w <= first_cell[:, None]) & valid
+        ).sum(axis=1) - 1
+        off_w = first_cell - offs_w[np.arange(len(widx)), slot_w]
+        node_w = fb[np.arange(len(widx)), slot_w]
+        pos_w = np.asarray(g.node_start)[node_w] + off_w
         starts = []
-        for i in walk_idx:
+        for w, i in enumerate(walk_idx):
+            if nmins[w] == 1:
+                starts.append((int(pos_w[w]), int(slot_w[w]), int(off_w[w])))
+                continue
             lane = lanes[i]
             keep = int(keeps[i])
             accepted = lane.accepted[:keep]
