@@ -97,3 +97,16 @@ def test_runtime_batched_backend(tmp_path):
     assert len(alns) == 20
     on_disk = stream.read_messages(str(tmp_path / "out.gam"), vg.Alignment)
     assert on_disk == alns
+
+
+def test_graft_entry_dryrun_multichip():
+    """The driver's multi-chip dry run must keep working as engine
+    outputs evolve (a new banded_scan output once broke its shard_map
+    specs without any test noticing)."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
