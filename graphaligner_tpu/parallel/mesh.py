@@ -76,9 +76,9 @@ def shard_banded_scan(graph, mesh, Nm: int = 8, Cm: int = 64, axis: str = "dp"):
     from jax.sharding import PartitionSpec as P
 
     try:
-        from jax.experimental.shard_map import shard_map
-    except ImportError:  # newer jax
         from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     from ..core.engine import _MATCH_TABLE
     from ..core.engine_banded import _banded_scan, build_graph_tables
