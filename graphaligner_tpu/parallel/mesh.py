@@ -112,10 +112,16 @@ def shard_banded_scan(graph, mesh, Nm: int = 8, Cm: int = 64, axis: str = "dp"):
             "lens_tab": P(None, None, axis),
             "pred_tab": P(None, None, axis),
         }
-        sm = shard_map(
-            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_rep=False,
-        )
+        try:
+            sm = shard_map(
+                fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            )
+        except TypeError:  # older jax spelling
+            sm = shard_map(
+                fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_rep=False,
+            )
         import jax.numpy as jnp
 
         args = tuple(jnp.asarray(a) for a in tables.device_args()) + (
