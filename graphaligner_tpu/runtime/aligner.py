@@ -95,9 +95,10 @@ def align_reads(
 ) -> list:
     """Align all reads; returns the list of output vg Alignments.
 
-    backend='jax' runs full-band (-i) alignment through the batched
-    device engine (exhaustive mode); seeded mode and cyclic graphs fall
-    back to the host oracle pipeline.
+    backend='jax' runs seeded mode through the batched banded device
+    engine (per-lane fallbacks: bigger capacity tier, then host oracle)
+    and full-band (-i) through the batched exhaustive engine;
+    backend='oracle' runs everything on the scalar host pipeline.
     """
     fastqs = load_fastq(params.fastq_file)
     log(f"{len(fastqs)} reads")
