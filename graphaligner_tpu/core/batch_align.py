@@ -297,15 +297,18 @@ class BandedBatchAligner:
         ew = max(self.initial_bandwidth, self.ramp_bandwidth) + WORD_SIZE
         assert ew < 1023
         if Nm is None:
+            # measured on longsim accepted slices: bands reach 26 nodes
+            # (p99 21), so 16 node slots overflow on 85% of lanes — the
+            # slot capacity must stay 32
             Nm = 32
         if Cm is None:
-            # cell capacity auto-scaled to the bandwidth (measured
-            # steady-state bands stay under ~1.7x the expansion width in
-            # bp; smaller tight buckets were tried and gained nothing —
-            # per-slice cost is overhead-, not Cm-, dominated). Overflow
-            # retries on the 2x tier (get_traces).
-            Cm = 448
-            while Cm < 2.2 * ew:
+            # cell capacity auto-scaled to the bandwidth: accepted bands
+            # stay under ~2.6x the expansion width in bp (longsim b=35:
+            # p99 217, max 255 cells at ew=99) and the cell kernel walks
+            # all Cm cells sequentially, so a tight first tier saves real
+            # time. Overflow retries on the 2x tier (get_traces).
+            Cm = 288
+            while Cm < 2.6 * ew:
                 Cm *= 2
         self.Nm = Nm
         self.Cm = Cm
@@ -330,7 +333,7 @@ class BandedBatchAligner:
                 self.initial_bandwidth,
                 self.ramp_bandwidth,
                 Nm=min(self.Nm * 2, 32),
-                Cm=self.Cm * 2 if self.Nm >= 32 else 448,
+                Cm=max(self.Cm * 2, 448),
                 max_rounds=self.max_rounds,
                 _tables=self.tables,
                 _rev_pos=self.rev_pos,

@@ -123,7 +123,8 @@ _JIT_CACHE: dict = {}
 
 
 def banded_scan(
-    *args, S_max, Nm, Cm, I_proj=32, P_fix=16, unroll=1, use_pallas=None
+    *args, S_max, Nm, Cm, I_proj=32, P_fix=16, unroll=1, use_pallas=None,
+    _ablate=None,
 ):
     import jax
 
@@ -135,7 +136,7 @@ def banded_scan(
         use_pallas = (
             jax.default_backend() != "cpu" and Nm <= 32 and K_in <= 5
         )
-    key = (S_max, Nm, Cm, I_proj, P_fix, B, unroll, use_pallas)
+    key = (S_max, Nm, Cm, I_proj, P_fix, B, unroll, use_pallas, _ablate)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         fn = jax.jit(
@@ -148,6 +149,7 @@ def banded_scan(
                 P_fix=P_fix,
                 unroll=unroll,
                 use_pallas=use_pallas,
+                _ablate=_ablate,
             )
         )
         _JIT_CACHE[key] = fn
@@ -183,6 +185,7 @@ def _banded_scan(
     P_fix: int = 16,
     unroll: int = 1,
     use_pallas: bool = False,
+    _ablate=None,
 ):
     """All internal arrays are laid out with the batch as the LAST axis
     ([Nm, B], [Cm, B], [K, Cm, B]) and per-field (never a trailing
@@ -213,7 +216,7 @@ def _banded_scan(
         return jnp.where(mask, out, fill)
 
     # ------------------------------------------------------ band projection
-    def project_band(p_ids_bn, p_node_min_bn, p_node_end_bn, p_min, bw):
+    def project_band(p_ids_bn, p_node_min_bn, p_node_end_bn, p_min, bw, act):
         """projectForwardFromMinScore (GraphAligner.h:1110-1159) as a
         sort-deduped Bellman-Ford over node slots ([B, Nm] layout — the
         sorts run along the last axis). Universe entries are
@@ -278,11 +281,18 @@ def _banded_scan(
             n_ids = jnp.where(got, jnp.sum(jnp.where(oh, all_id[:, :, None], 0), axis=1), EMPTY)
             n_pri = jnp.where(got, jnp.sum(jnp.where(oh, all_pri[:, :, None], 0), axis=1), INF_PRI)
             n_outp = jnp.where(got, jnp.sum(jnp.where(oh, all_outp[:, :, None], 0), axis=1), INF_PRI)
-            changed = jnp.any((n_ids != ids) | (n_pri != pri))
-            return (n_ids, n_pri, n_outp, over, it + 1, changed)
+            # per-lane convergence: inactive lanes (past num_steps) and
+            # lanes whose band already overflowed Nm keep churning forever
+            # and previously held the WHOLE batch at the iteration cap —
+            # they are excluded here (their slice result is dead either
+            # way), so the loop runs only as long as a live lane improves
+            changed_l = (
+                jnp.any((n_ids != ids) | (n_pri != pri), axis=1) & act & ~over
+            )
+            return (n_ids, n_pri, n_outp, over, it + 1, changed_l)
 
         def cond(state):
-            return state[5] & (state[4] < I_proj)
+            return jnp.any(state[5]) & (state[4] < I_proj)
 
         state = (
             ids0,
@@ -290,10 +300,12 @@ def _banded_scan(
             outp0,
             jnp.zeros(B, bool),
             jnp.int32(0),
-            jnp.bool_(True),
+            jnp.ones(B, bool),
         )
-        ids, pri, outp, over, it, changed = jax.lax.while_loop(cond, body, state)
-        over = over | changed  # hit the iteration cap while still changing
+        ids, pri, outp, over, it, changed_l = jax.lax.while_loop(
+            cond, body, state
+        )
+        over = over | changed_l  # this lane hit the cap while improving
         return ids, over
 
     # -------------------------------------------------------------- slice step
@@ -303,9 +315,12 @@ def _banded_scan(
         active = t < num_steps  # [B]
         g_slice = start_slice + t  # [B] global slice index
 
-        ids_bn, proj_over = project_band(
-            p_ids.T, p_node_min.T, p_node_end.T, p_min, bw
-        )
+        if _ablate == "noproj":
+            ids_bn, proj_over = p_ids.T, jnp.zeros(B, bool)
+        else:
+            ids_bn, proj_over = project_band(
+                p_ids.T, p_node_min.T, p_node_end.T, p_min, bw, active
+            )
         ids = ids_bn.T  # [Nm, B]
         valid_slot = ids < EMPTY
 
@@ -477,6 +492,9 @@ def _banded_scan(
             )
 
             def cell_pass(buf_init):
+                # buf_init/buf/cols stay STACKED [7, Nm|Cm, B] end to end:
+                # an unstack/restack pair around the kernel cost a full
+                # extra read+write of the multi-MB cols array per step
                 cols, buf, nmin = banded_cell_kernel(
                     m1,
                     m2,
@@ -485,18 +503,15 @@ def _banded_scan(
                     eq_lo_tab,
                     eq_hi_tab,
                     seq_len[None, :],
-                    jnp.stack(buf_init, axis=0),
+                    buf_init,
                     K_in=K_in,
                     Bb=min(256, B),
                 )
-                return (
-                    tuple(cols[f] for f in range(7)),
-                    tuple(buf[f] for f in range(7)),
-                    nmin,
-                    pre_back_edge,
-                )
+                return cols, buf, nmin, pre_back_edge
 
-        def cell_pass_xla(buf_init):
+        def cell_pass_xla(buf_init_stacked):
+            buf_init = tuple(buf_init_stacked[f] for f in range(7))
+
             # buf: tuple of 7 [Nm, B] arrays (int32-encoded fields)
             def cell_step(ccarry, c):
                 col, buf, nmin, slot, off, be_acc = ccarry
@@ -675,22 +690,32 @@ def _banded_scan(
             (_, buf, nmin, _, _, be_acc), cols = jax.lax.scan(
                 cell_step, init, jax.lax.iota(jnp.int32, Cm), unroll=unroll
             )
-            return cols, buf, nmin, be_acc  # cols: tuple of 7 [Cm, B]
+            # cols from scan: tuple of 7 [Cm, B] -> stacked [7, Cm, B]
+            return jnp.stack(cols, axis=0), jnp.stack(buf, axis=0), nmin, be_acc
 
         if not use_pallas:
             cell_pass = cell_pass_xla
 
         minus1 = jax.lax.bitcast_convert_type(ONES, jnp.int32)
-        inf_buf = (
-            jnp.full((Nm, B), minus1, jnp.int32),
-            jnp.full((Nm, B), minus1, jnp.int32),
-            jnp.zeros((Nm, B), jnp.int32),
-            jnp.zeros((Nm, B), jnp.int32),
-            jnp.full((Nm, B), INF, jnp.int32),
-            jnp.full((Nm, B), INF + WORD_SIZE, jnp.int32),
-            jnp.zeros((Nm, B), jnp.int32),
+        inf_buf = jnp.stack(
+            (
+                jnp.full((Nm, B), minus1, jnp.int32),
+                jnp.full((Nm, B), minus1, jnp.int32),
+                jnp.zeros((Nm, B), jnp.int32),
+                jnp.zeros((Nm, B), jnp.int32),
+                jnp.full((Nm, B), INF, jnp.int32),
+                jnp.full((Nm, B), INF + WORD_SIZE, jnp.int32),
+                jnp.zeros((Nm, B), jnp.int32),
+            ),
+            axis=0,
         )
-        cols, buf, nmin, back_edge = cell_pass(inf_buf)
+        if _ablate == "nocells":
+            cols = jnp.zeros((7, Cm, B), jnp.int32)
+            buf = inf_buf
+            nmin = jnp.full((Nm, B), INF, jnp.int32) - (p_min[None, :] % 2)
+            back_edge = jnp.zeros(B, bool)
+        else:
+            cols, buf, nmin, back_edge = cell_pass(inf_buf)
 
         # bounded fixpoint for cyclic bands (back edge = an in-band
         # predecessor at a topo slot >= the node's own, accumulated by
@@ -701,18 +726,19 @@ def _banded_scan(
         def fix_body(st):
             cols0, buf0, nmin0, _, lane_ch, it = st
             cols1, buf1, nmin1, _ = cell_pass(buf0)
-            diff = jnp.zeros(B, bool)
-            for a, b in zip(cols1, cols0):
-                diff = diff | jnp.any(a != b, axis=0)
+            diff = jnp.any(cols1 != cols0, axis=(0, 1))
             lane_changed = diff & back_edge
             return (cols1, buf1, nmin1, jnp.any(lane_changed), lane_changed, it + 1)
 
-        cols, buf, nmin, still, lane_ch, fx = jax.lax.while_loop(
-            fix_cond,
-            fix_body,
-            (cols, buf, nmin, jnp.any(back_edge), back_edge, jnp.int32(0)),
-        )
-        fix_fail = lane_ch & still  # per-lane: hit the cap while changing
+        if _ablate in ("nofix", "nocells"):
+            fix_fail = jnp.zeros(B, bool)
+        else:
+            cols, buf, nmin, still, lane_ch, fx = jax.lax.while_loop(
+                fix_cond,
+                fix_body,
+                (cols, buf, nmin, jnp.any(back_edge), back_edge, jnp.int32(0)),
+            )
+            fix_fail = lane_ch & still  # per-lane: hit the cap while changing
 
         sends = cols[5]  # [Cm, B]
         node_end = buf[5]  # [Nm, B]
@@ -730,6 +756,10 @@ def _banded_scan(
             upd(min_score, p_min),
         )
         am2 = active[None, :]
+        # cols/sends are NOT masked for inactive lanes: every consumer
+        # (walk consolidation, rewind carries) reads only accepted
+        # (active) steps, and the where() pair on the multi-MB cols
+        # array cost ~2x its own write bandwidth per step
         ys = (
             jnp.where(am2, ids, EMPTY),
             jnp.where(am2, nmin, INF),
@@ -737,8 +767,8 @@ def _banded_scan(
             jnp.where(active, min_score, INF),
             jnp.where(active, jnp.minimum(c_used, Cm), 0),
             overflow & active,
-            tuple(jnp.where(am2, c, 0) for c in cols),
-            jnp.where(am2, sends, INF),
+            cols,
+            sends,
             jnp.where(am2, lens, 0),
             jnp.where(am2, pred_tab, 0),
         )
@@ -798,7 +828,7 @@ def _banded_scan(
             [min_score, num_cells, overflow.astype(_jnp.int32)], axis=1
         ),  # [S, 3, B]
         # [S, 7, Cm, B]: vp_lo vp_hi vn_lo vn_hi sbs send e
-        "cols": _jnp.stack(cols, axis=1),
+        "cols": cols,
         "sends": sends,  # [S, Cm, B] per-cell last-row scores
         "lens_tab": lens_tab,  # [S, Nm, B] per-slot node lengths
         "pred_tab": pred_tab,  # [S, Nm, B] packed pred (slot|valid<<5)<<6k
