@@ -78,6 +78,22 @@ class _CorrFlags:
 
 _FLAGS_POOL: dict = {}
 
+_DECODE_POOL = None
+
+
+def _decode_pool():
+    """Shared worker pool for host-side native decode/encode (the ctypes
+    calls release the GIL). Size follows GA_THREADS or the CLI -t flag
+    (runtime.aligner sets it), defaulting to the core count capped at 8."""
+    global _DECODE_POOL
+    if _DECODE_POOL is None:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = int(os.environ.get("GA_THREADS", 0)) or min(8, os.cpu_count() or 1)
+        _DECODE_POOL = ThreadPoolExecutor(max_workers=max(1, n))
+    return _DECODE_POOL
+
 
 def _corr_flags(cc, ffc, cur):
     obj = _FLAGS_POOL.get((cc, ffc, cur))
@@ -289,6 +305,7 @@ class BandedBatchAligner:
         max_rounds: int = 6,
         _tables=None,
         _rev_pos=None,
+        _tier: int = 0,
     ):
         self.graph = graph
         self.tables = _tables if _tables is not None else build_graph_tables(graph)
@@ -312,6 +329,7 @@ class BandedBatchAligner:
                 Cm *= 2
         self.Nm = Nm
         self.Cm = Cm
+        self.tier = _tier
         self.max_rounds = max_rounds
         if _rev_pos is not None:
             self.rev_pos = _rev_pos
@@ -337,6 +355,7 @@ class BandedBatchAligner:
                 max_rounds=self.max_rounds,
                 _tables=self.tables,
                 _rev_pos=self.rev_pos,
+                _tier=self.tier + 1,
             )
         return self._bigger
 
@@ -698,11 +717,14 @@ class BandedBatchAligner:
         codes = self._codes[:, :L]
         if codes.shape[1] < L:
             codes = np.pad(codes, ((0, 0), (0, L - codes.shape[1])))
-        mtab = (
-            bits_lut[codes].reshape(B, K_max, WORD_SIZE).transpose(1, 2, 0)
-        ).astype(np.int32)
+        # ship the uint8 codes and expand to int32 match masks on device
+        # (walk_moves) — the mask table itself is 4x the bytes over the
+        # remote link and was ~0.6s/1000 reads of host+transfer time
+        codes8 = np.ascontiguousarray(
+            codes.reshape(B, K_max, WORD_SIZE).transpose(1, 2, 0)
+        )
         if Bp != B:
-            mtab = np.pad(mtab, ((0, 0), (0, 0), (0, Bp - B)))
+            codes8 = np.pad(codes8, ((0, 0), (0, 0), (0, Bp - B)))
 
         def row1(a):
             a = np.ascontiguousarray(a, dtype=np.int32)
@@ -724,7 +746,8 @@ class BandedBatchAligner:
             band_tab,
             lens_tab,
             pred_tab,
-            mtab,
+            codes8,
+            bits_lut,
             row1(self._seq_lens),
             row1(seed_nodes),
             row1(sslot),
@@ -753,14 +776,15 @@ class BandedBatchAligner:
         pos2node = np.ascontiguousarray(t.pos_to_node)
         in_nbrs = np.ascontiguousarray(t.in_nbrs)
         cap = K_max * WORD_SIZE * 3 + 64
+        live = [i for i in walk_idx if not fail[i]]
         for i in walk_idx:
-            lane = lanes[i]
             if fail[i]:
-                lane.failed = True
-                continue
+                lanes[i].failed = True
+
+        def decode_one(i):
             try:
-                arr = native.decode_moves(
-                    moves[:, i],
+                return native.decode_moves(
+                    np.ascontiguousarray(moves[:, i]),
                     int(sw[i]),
                     int(keeps[i]) * WORD_SIZE - 1,
                     node_start64,
@@ -770,9 +794,16 @@ class BandedBatchAligner:
                     cap,
                 )
             except ValueError:
-                lane.failed = True
-                continue
-            if arr is None or len(arr) < 1 or arr[0, 1] != 0:
+                return False
+
+        # the native decoder is stateless and ctypes releases the GIL for
+        # the C call, so the per-lane decodes run on a worker pool
+        # (reference analog: the per-thread backtrace halves of
+        # Aligner.cpp:275-298)
+        decoded = list(_decode_pool().map(decode_one, live))
+        for i, arr in zip(live, decoded):
+            lane = lanes[i]
+            if arr is False or arr is None or len(arr) < 1 or arr[0, 1] != 0:
                 lane.failed = True
                 continue
             score = lane.accepted[int(keeps[i]) - 1].min_score
@@ -1069,6 +1100,10 @@ class BandedBatchAligner:
             S_max=S_max,
             Nm=self.Nm,
             Cm=self.Cm,
+            # pairwise rank-select dedup measured fastest (sort-based
+            # equal, 2-hop and a 12-iteration unroll both slower); the
+            # while_loop exits at the ~9-12 hops this workload needs
+            _proj="pairwise",
         )
         # enqueue host copies now: they run right after the scan on the
         # device timeline and overlap whatever is dispatched next, so the

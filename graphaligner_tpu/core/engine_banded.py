@@ -124,7 +124,7 @@ _JIT_CACHE: dict = {}
 
 def banded_scan(
     *args, S_max, Nm, Cm, I_proj=32, P_fix=16, unroll=1, use_pallas=None,
-    _ablate=None,
+    _ablate=None, _proj="sort2",
 ):
     import jax
 
@@ -136,7 +136,7 @@ def banded_scan(
         use_pallas = (
             jax.default_backend() != "cpu" and Nm <= 32 and K_in <= 5
         )
-    key = (S_max, Nm, Cm, I_proj, P_fix, B, unroll, use_pallas, _ablate)
+    key = (S_max, Nm, Cm, I_proj, P_fix, B, unroll, use_pallas, _ablate, _proj)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         fn = jax.jit(
@@ -150,6 +150,7 @@ def banded_scan(
                 unroll=unroll,
                 use_pallas=use_pallas,
                 _ablate=_ablate,
+                _proj=_proj,
             )
         )
         _JIT_CACHE[key] = fn
@@ -186,6 +187,7 @@ def _banded_scan(
     unroll: int = 1,
     use_pallas: bool = False,
     _ablate=None,
+    _proj="sort2",
 ):
     """All internal arrays are laid out with the batch as the LAST axis
     ([Nm, B], [Cm, B], [K, Cm, B]) and per-field (never a trailing
@@ -234,8 +236,14 @@ def _banded_scan(
             seed_exp, p_node_end_bn - p_min[:, None] + 1, jnp.int32(INF_PRI)
         ).astype(jnp.int32)
 
-        E = Nm + Nm * K_out
-        iota_e = jax.lax.iota(jnp.int32, E)
+        # 2-hop candidate generation when the fan-out is small: the
+        # relaxation discovers band nodes two hops per iteration instead
+        # of one, ~halving the while_loop trip count. Extra edges with
+        # correct distances never change the Bellman-Ford fixpoint (the
+        # 1-hop edges alone already determine it), so the band SET — the
+        # only thing bit-identity depends on — is unchanged.
+        two_hop = K_out <= 2 and _proj == "sort2"
+        E = Nm + Nm * K_out + (Nm * K_out * K_out if two_hop else 0)
 
         def body(state):
             ids, pri, outp, over, it, _ = state
@@ -249,38 +257,81 @@ def _banded_scan(
             cand_pri = jnp.where(cand_valid, outp[:, :, None], INF_PRI)
             cand_len = gather_node(node_len, cand_id, 0)
             cand_outp = jnp.minimum(cand_pri + cand_len, INF_PRI)
-            all_id = jnp.concatenate([ids, cand_id.reshape(B, -1)], axis=1)
-            all_pri = jnp.concatenate([pri, cand_pri.reshape(B, -1)], axis=1)
-            all_outp = jnp.concatenate([outp, cand_outp.reshape(B, -1)], axis=1)
+            parts_id = [ids, cand_id.reshape(B, -1)]
+            parts_pri = [pri, cand_pri.reshape(B, -1)]
+            parts_outp = [outp, cand_outp.reshape(B, -1)]
+            if two_hop:
+                c2_id = gather_node(out_nbrs, cand_id, -1)  # [B, Nm, K, K]
+                c2_valid = (
+                    cand_valid[..., None]
+                    & (c2_id >= 0)
+                    & (cand_outp[..., None] <= ew[:, None, None, None])
+                )
+                c2_id = jnp.where(c2_valid, c2_id, EMPTY)
+                c2_pri = jnp.where(c2_valid, cand_outp[..., None], INF_PRI)
+                c2_len = gather_node(node_len, c2_id, 0)
+                c2_outp = jnp.minimum(c2_pri + c2_len, INF_PRI)
+                parts_id.append(c2_id.reshape(B, -1))
+                parts_pri.append(c2_pri.reshape(B, -1))
+                parts_outp.append(c2_outp.reshape(B, -1))
+            all_id = jnp.concatenate(parts_id, axis=1)
+            all_pri = jnp.concatenate(parts_pri, axis=1)
+            all_outp = jnp.concatenate(parts_outp, axis=1)
             rank = gather_node(topo_rank, all_id, int(I32MAX) // PRI_RANGE - 1)
             key = jnp.where(
                 (all_id < EMPTY) & (all_pri < INF_PRI),
                 rank * PRI_RANGE + all_pri,
                 I32MAX,
             )
-            # rank-select compaction (lax.sort's bitonic network is the
-            # projection's hot op at this width; pairwise compares over
-            # E=Nm(1+K_out) entries are cheaper): keep each node's first
-            # minimal-key entry, then its output slot = #kept entries
-            # with a smaller key (keys of distinct kept nodes are
-            # distinct since the node rank dominates the key).
-            samemat = all_id[:, :, None] == all_id[:, None, :]  # [B, E(i), E(j)]
-            keymat = jnp.where(samemat, key[:, None, :], I32MAX)
-            minkey = jnp.min(keymat, axis=2)
-            first_j = jnp.argmax(keymat == minkey[:, :, None], axis=2)
-            keep = (key < I32MAX) & (first_j == iota_e[None, :])
-            over = over | (jnp.sum(keep, axis=1) > Nm)
-            pos = jnp.sum(
-                (key[:, None, :] < key[:, :, None]) & keep[:, None, :],
-                axis=2,
-            )  # [B, E]
-            oh = (pos[:, :, None] == jax.lax.iota(jnp.int32, Nm)[None, None, :]) & keep[
-                :, :, None
-            ]  # [B, E, Nm]
-            got = jnp.any(oh, axis=1)
-            n_ids = jnp.where(got, jnp.sum(jnp.where(oh, all_id[:, :, None], 0), axis=1), EMPTY)
-            n_pri = jnp.where(got, jnp.sum(jnp.where(oh, all_pri[:, :, None], 0), axis=1), INF_PRI)
-            n_outp = jnp.where(got, jnp.sum(jnp.where(oh, all_outp[:, :, None], 0), axis=1), INF_PRI)
+            if _proj.startswith("sort"):
+                # dedup-by-min via ONE stable sort on the packed
+                # (rank, pri) key: same node => same rank => adjacent
+                # after sorting, so the per-node minimum is the first
+                # entry of each id run and the output slot is a prefix
+                # count — O(E log^2 E) total
+                key_s, id_s, pri_s, outp_s = jax.lax.sort(
+                    (key, all_id, all_pri, all_outp), dimension=1,
+                    num_keys=1, is_stable=True,
+                )
+                valid_s = key_s < I32MAX
+                first = (
+                    jnp.concatenate(
+                        [
+                            jnp.ones((B, 1), bool),
+                            id_s[:, 1:] != id_s[:, :-1],
+                        ],
+                        axis=1,
+                    )
+                    & valid_s
+                )
+                cnt = jnp.cumsum(first.astype(jnp.int32), axis=1)  # [B, E]
+                over = over | (cnt[:, -1] > Nm)
+                pos = jnp.where(first, cnt - 1, Nm)
+                oh = pos[:, :, None] == iota_nm[None, None, :]  # [B, E, Nm]
+                got = jnp.any(oh, axis=1)
+                n_ids = jnp.where(got, jnp.sum(jnp.where(oh, id_s[:, :, None], 0), axis=1), EMPTY)
+                n_pri = jnp.where(got, jnp.sum(jnp.where(oh, pri_s[:, :, None], 0), axis=1), INF_PRI)
+                n_outp = jnp.where(got, jnp.sum(jnp.where(oh, outp_s[:, :, None], 0), axis=1), INF_PRI)
+            else:
+                # O(E^2) pairwise rank-select dedup (round-1 scheme)
+                iota_e = jax.lax.iota(jnp.int32, E)
+                samemat = all_id[:, :, None] == all_id[:, None, :]
+                keymat = jnp.where(samemat, key[:, None, :], I32MAX)
+                minkey = jnp.min(keymat, axis=2)
+                first_j = jnp.argmax(keymat == minkey[:, :, None], axis=2)
+                keep = (key < I32MAX) & (first_j == iota_e[None, :])
+                over = over | (jnp.sum(keep, axis=1) > Nm)
+                pos = jnp.sum(
+                    (key[:, None, :] < key[:, :, None]) & keep[:, None, :],
+                    axis=2,
+                )
+                oh = (pos[:, :, None] == iota_nm[None, None, :]) & keep[
+                    :, :, None
+                ]
+                got = jnp.any(oh, axis=1)
+                n_ids = jnp.where(got, jnp.sum(jnp.where(oh, all_id[:, :, None], 0), axis=1), EMPTY)
+                n_pri = jnp.where(got, jnp.sum(jnp.where(oh, all_pri[:, :, None], 0), axis=1), INF_PRI)
+                n_outp = jnp.where(got, jnp.sum(jnp.where(oh, all_outp[:, :, None], 0), axis=1), INF_PRI)
             # per-lane convergence: inactive lanes (past num_steps) and
             # lanes whose band already overflowed Nm keep churning forever
             # and previously held the WHOLE batch at the iteration cap —
@@ -291,9 +342,6 @@ def _banded_scan(
             )
             return (n_ids, n_pri, n_outp, over, it + 1, changed_l)
 
-        def cond(state):
-            return jnp.any(state[5]) & (state[4] < I_proj)
-
         state = (
             ids0,
             pri0,
@@ -302,9 +350,23 @@ def _banded_scan(
             jnp.int32(0),
             jnp.ones(B, bool),
         )
-        ids, pri, outp, over, it, changed_l = jax.lax.while_loop(
-            cond, body, state
-        )
+        if _proj.startswith("unroll"):
+            # fixed-trip straight-line relaxation: nearly every live step
+            # needs ~9-12 hops on this workload, so the while_loop's early
+            # exit saved nothing while its per-iteration carry/cond cost
+            # ~1.3ms/step; unrolled, XLA fuses across iterations. The cap
+            # semantics are unchanged: a lane still improving on the last
+            # iteration is flagged overflow.
+            for _ in range(I_proj):
+                state = body(state)
+            ids, pri, outp, over, it, changed_l = state
+        else:
+            def cond(state):
+                return jnp.any(state[5]) & (state[4] < I_proj)
+
+            ids, pri, outp, over, it, changed_l = jax.lax.while_loop(
+                cond, body, state
+            )
         over = over | changed_l  # this lane hit the cap while improving
         return ids, over
 

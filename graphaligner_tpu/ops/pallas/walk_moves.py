@@ -66,7 +66,8 @@ def walk_moves_kernel(
     band_tab,  # [K, Nm, B] int32 band node ids (EMPTY pad)
     lens_tab,  # [K, Nm, B] int32 per-slot node lengths
     pred_tab,  # [K, Nm, B] int32 packed preds (slot|valid<<5)<<6k
-    mtab,  # [K, 64, B] int32 per-row 5-bit match masks (bit g = match)
+    codes8,  # [K, 64, B] uint8 read codes (match masks expand on device)
+    bits_lut,  # [R] int32 read-code -> 5-bit match mask lut
     seq_len,  # [1, B] int32 (getValueOrMax default)
     seed_node,  # [1, B] int32 (synthetic slice-0 band)
     start_slot,  # [1, B] int32 backtrace start cell slot (in slice K_lane)
@@ -434,6 +435,16 @@ def walk_moves_kernel(
 
     def im_b(b, s):
         return (0, b)
+
+    # expand read codes to per-row match masks ON DEVICE: shipping the
+    # int32 mask table over the remote link cost ~4x the bytes of the
+    # uint8 codes (one-hot over the static R=15 read codes; Mosaic needs
+    # int32 inputs, XLA fuses this into one pass)
+    R = bits_lut.shape[0]
+    c32 = codes8.astype(jnp.int32)
+    mtab = jnp.zeros(codes8.shape, jnp.int32)
+    for r in range(R):
+        mtab = jnp.where(c32 == r, bits_lut[r], mtab)
 
     moves, fail = pl.pallas_call(
         kernel,
