@@ -132,7 +132,7 @@ def walk_moves_kernel(
             st_ref[5, :] = (keeps_ref[0, :] < 1).astype(jnp.int32)  # done
             st_ref[6, :] = jnp.zeros(Bb, jnp.int32)  # fail
             st_ref[7, :] = jnp.ones(Bb, jnp.int32)  # needs_col
-            for f in range(7):
+            for f in range(5):
                 st_ref[8 + f, :] = jnp.zeros(Bb, jnp.int32)  # col cache
             st_ref[15, :] = jnp.zeros(Bb, jnp.int32)
             word_ref[0, :] = jnp.zeros(Bb, jnp.int32)
@@ -171,20 +171,31 @@ def walk_moves_kernel(
             oh = iota_64 == r[None, :]
             return jnp.sum(jnp.where(oh, tab, 0), axis=0)
 
-        # fields actually consumed by the walk: 0-4 feed col_value, 6
-        # carries scoreBeforeExists+code; 5 (send) is only ever read from
-        # the PREVIOUS slice by prev_value. Skipping unused [Cm, Bb]
-        # masked sums halves the per-lockstep-step vector work.
-        WALK_FIELDS = (0, 1, 2, 3, 4, 6)
-
-        def read_col(cols_blk, cell, fields=WALK_FIELDS):
+        # walk column layout (packed by the wrapper): fields 0-3 are the
+        # vp/vn words, field 4 = sbs | (e << 24) — one [Cm, Bb] masked
+        # sum fewer per read than the engine's 7-field layout — and
+        # field 5 = send, read only from the PREVIOUS slice by
+        # prev_value.
+        def read_col(cols_blk, cell):
             oh = iota_cm == cell[None, :]
-            zero = jnp.zeros(Bb, jnp.int32)
-            return [
+            packed = [
                 jnp.sum(jnp.where(oh, cols_blk[0, f], 0), axis=0)
-                if f in fields
-                else zero
-                for f in range(7)
+                for f in range(5)
+            ]
+            return unpack7(packed)
+
+        def unpack7(p5):
+            return [
+                p5[0], p5[1], p5[2], p5[3],
+                p5[4] & 0xFFFFFF,
+                jnp.zeros(Bb, jnp.int32),
+                jax.lax.shift_right_logical(p5[4], 24),
+            ]
+
+        def pack5(col7):
+            return [
+                col7[0], col7[1], col7[2], col7[3],
+                (col7[4] & 0xFFFFFF) | (col7[6] << 24),
             ]
 
         def col_value(col, r):
@@ -249,8 +260,9 @@ def walk_moves_kernel(
                 lambda c: [jnp.zeros(Bb, jnp.int32)] * 7,
                 jnp.clip(cell, 0, Cm - 1),
             )
+            cached = unpack7([st_ref[8 + f, :] for f in range(5)])
             col = [
-                jnp.where(active & needs_col, fresh[f], st_ref[8 + f, :])
+                jnp.where(active & needs_col, fresh[f], cached[f])
                 for f in range(7)
             ]
 
@@ -288,14 +300,31 @@ def walk_moves_kernel(
                 jnp.where(is_start, oh_read_nm(band_c, pslots[k]), node_id)
                 for k in range(K_in)
             ]
-            # boundary (row 0) values from the previous slice (single-
-            # field reads; a lax.cond scalar guard was tried and cost
-            # more than the reads it skipped)
-            bd = [
-                prev_value(u_nodes[k], u_offs[k], default)
-                for k in range(K_in)
-            ]
-            bd.append(prev_value(node_id, off, default))
+            # boundary (row 0) values from the previous slice: needed only
+            # when some lane sits at row 0 (~1 in 64 lockstep steps since
+            # lanes descend roughly together), so ONE scalar cond gates
+            # all K_in+1 [Cm, Bb] reads (a per-read cond was tried in
+            # round 1 and lost; the fused gate skips 3 reads at once)
+            any_bd = jnp.any(active & (row_in == 0))
+
+            def bd_read(args):
+                uns, uos, nid, off_ = args
+                vals = [
+                    prev_value(uns[k], uos[k], default) for k in range(K_in)
+                ]
+                vals.append(prev_value(nid, off_, default))
+                return jnp.stack(vals, axis=0)
+
+            bd_st = jax.lax.cond(
+                any_bd,
+                bd_read,
+                lambda args: jnp.broadcast_to(
+                    default[None, :], (K_in + 1, Bb)
+                ).astype(jnp.int32)
+                * jnp.ones((K_in + 1, Bb), jnp.int32),
+                (u_nodes, u_offs, node_id, off),
+            )
+            bd = [bd_st[k] for k in range(K_in + 1)]
             # k>=1 predecessor columns only exist at node-start cells
             # (~1 in 12 steps); a SCALAR any() gates those block reads
             any_start = jnp.any(active & is_start)
@@ -371,8 +400,10 @@ def walk_moves_kernel(
             st_ref[5, :] = new_done.astype(jnp.int32)
             st_ref[6, :] = (fail | new_fail).astype(jnp.int32)
             st_ref[7, :] = needs2.astype(jnp.int32)
-            for f in range(7):
-                st_ref[8 + f, :] = jnp.where(active, n_col[f], col[f])
+            ncp = pack5(n_col)
+            ccp = pack5(col)
+            for f in range(5):
+                st_ref[8 + f, :] = jnp.where(active, ncp[f], ccp[f])
 
             move = jnp.where(active, move, 0)
             t = ctr_ref[0]
@@ -446,12 +477,24 @@ def walk_moves_kernel(
     for r in range(R):
         mtab = jnp.where(c32 == r, bits_lut[r], mtab)
 
+    # pack the engine's 7-field columns into the 6-field walk layout
+    # (field 4 = sbs | e<<24, field 5 = send): one field fewer to
+    # masked-sum per in-kernel column read
+    cols6 = jnp.concatenate(
+        [
+            cols_tab[:, :4],
+            (cols_tab[:, 4:5] & 0xFFFFFF) | (cols_tab[:, 6:7] << 24),
+            cols_tab[:, 5:6],
+        ],
+        axis=1,
+    )
+
     moves, fail = pl.pallas_call(
         kernel,
         grid=(nb, K),
         in_specs=[
-            pl.BlockSpec((1, 7, Cm, Bb), im_cur, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 7, Cm, Bb), im_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6, Cm, Bb), im_cur, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6, Cm, Bb), im_prev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Nm, Bb), im_cur3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Nm, Bb), im_prev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Nm, Bb), im_cur3, memory_space=pltpu.VMEM),
@@ -484,8 +527,8 @@ def walk_moves_kernel(
             pltpu.SMEM((1,), jnp.int32),
         ],
     )(
-        cols_tab,
-        cols_tab,  # same array, "previous slice" block view
+        cols6,
+        cols6,  # same array, "previous slice" block view
         band_tab,
         band_tab,
         lens_tab,
