@@ -222,6 +222,7 @@ class _Rec:
     lane_in_round: int
     slice_i: int
     bandwidth: int
+    req_i: int = -1  # index into the round's request list
 
     @property
     def min_score(self) -> int:
@@ -424,9 +425,10 @@ class BandedBatchAligner:
             pend = None
             for pos, (i, start, _, _) in enumerate(requests):
                 lane = lanes[i]
+                l, s0, n = rnd.req_meta[pos]
                 lane.chain = [
-                    _Rec(rnd, t, pos, start + t, int(rnd._bw[t, pos]))
-                    for t in range(int(rnd.num_steps[pos]))
+                    _Rec(rnd, s0 + t, l, start + t, int(rnd._bw[s0 + t, l]), pos)
+                    for t in range(n)
                 ]
                 lane.cursor = 0
             if round_no == 0:
@@ -494,9 +496,11 @@ class BandedBatchAligner:
         Failed lanes are withheld until the capacity-retry tier resolves
         them; the last yielded batch maps the remainder (value None =
         host fallback needed)."""
-        # length-bucketed chunks: a chunk's scan runs max-slices steps for
-        # EVERY lane, so mixing a 2-slice backward extension with a
-        # 160-slice forward one wastes ~98% of the short lane's scan.
+        # segment-packed chunks: problems are packed back to back into
+        # scan lanes (FFD, the same packing _dispatch_round computes), so
+        # a chunk mixes 160-slice forward extensions with 2-slice
+        # backward ones at no step waste — chunk boundaries fall where
+        # the LANE count reaches the batch target or the HBM cap
         order = sorted(
             range(len(problems)),
             key=lambda i: len(problems[i][0]),
@@ -505,18 +509,35 @@ class BandedBatchAligner:
         chunks = []
         i = 0
         while i < len(order):
+            S0 = max(1, len(problems[order[i]][0]) // WORD_SIZE)
+            S_bucket = 32
+            while S_bucket < S0:
+                S_bucket = (
+                    S_bucket + 64 if S_bucket < 160 else S_bucket * 2
+                )
             # cap each chunk so one round's packed columns stay under
             # ~1.5GB of HBM (two chunks are in flight); megabase-scale
             # reads therefore run at a smaller batch instead of OOMing
-            S0 = max(1, len(problems[order[i]][0]) // WORD_SIZE)
-            mem_cap = int(1.5e9 // (S0 * 7 * self.Cm * 4))
-            # short-read chunks amortize per-chunk fixed costs at a
-            # bigger batch (512 measured ~1.3x faster than 256 for
-            # <=2kb problems; 1024 is slower again)
-            want = 512 if S0 <= 32 and chunk_size <= 512 else chunk_size
-            size = min(want, max(8, mem_cap))
-            chunks.append((order[i : i + size], [problems[j] for j in order[i : i + size]]))
-            i += size
+            lane_target = min(
+                chunk_size, max(8, int(1.5e9 // (S_bucket * 7 * self.Cm * 4)))
+            )
+            group = []
+            fill: list = []
+            while i < len(order):
+                n = max(1, len(problems[order[i]][0]) // WORD_SIZE)
+                placed = False
+                for l in range(len(fill)):
+                    if fill[l] + n <= S_bucket:
+                        fill[l] += n
+                        placed = True
+                        break
+                if not placed:
+                    if len(fill) >= lane_target:
+                        break
+                    fill.append(n)
+                group.append(order[i])
+                i += 1
+            chunks.append((group, [problems[j] for j in group]))
         chunks.reverse()  # smallest first
         unresolved: list = []
         pend = self._start_run(chunks[0][1])
@@ -1005,59 +1026,99 @@ class BandedBatchAligner:
         return cols_tab, band_tab
 
     # ------------------------------------------------------------- device round
+    @staticmethod
+    def _ffd_pack(sizes, cap, opens):
+        """First-fit-decreasing packing of request slice-counts into
+        lanes of `cap` steps. opens[r] forces request r to open a fresh
+        lane at step 0 (carried rewinds consume the init_* carry slot).
+        Returns (lane_of, step0_of, n_lanes); deterministic."""
+        order = sorted(range(len(sizes)), key=lambda r: (-sizes[r], r))
+        fill = []  # per lane: used steps
+        lane_of = [0] * len(sizes)
+        step0_of = [0] * len(sizes)
+        for r in order:
+            n = max(1, sizes[r])
+            if opens[r]:
+                lane_of[r] = len(fill)
+                step0_of[r] = 0
+                fill.append(n)
+                continue
+            placed = False
+            for l in range(len(fill)):
+                if fill[l] + n <= cap:
+                    lane_of[r] = l
+                    step0_of[r] = fill[l]
+                    fill[l] += n
+                    placed = True
+                    break
+            if not placed:
+                lane_of[r] = len(fill)
+                step0_of[r] = 0
+                fill.append(n)
+        return lane_of, step0_of, max(1, len(fill))
+
     def _dispatch_round(self, problems, codes, seq_lens, requests, S_max):
+        """Pack the requests' slice ranges into scan lanes (many problems
+        per lane, back to back — segment starts reset the carry in-scan)
+        and dispatch one banded_scan round."""
         nreq = len(requests)
+        sizes = [
+            max(0, (len(problems[i][0]) // WORD_SIZE) - st)
+            for (i, st, _, _) in requests
+        ]
+        opens = [carry != "init" for (_, _, carry, _) in requests]
+        lane_of, step0_of, n_lanes = self._ffd_pack(sizes, S_max, opens)
         # few batch buckets only (compile cost, see _start_run)
-        if nreq <= 32:
+        if n_lanes <= 32:
             B = 32
-        elif nreq <= 256:
+        elif n_lanes <= 256:
             B = 256
         else:
             B = 512
-            while B < nreq:
+            while B < n_lanes:
                 B *= 2
-        assert nreq <= B
-        sel = np.zeros(B, dtype=np.int64)
-        start = np.zeros(B, dtype=np.int32)
-        steps = np.zeros(B, dtype=np.int32)
         bw = np.full((S_max, B), self.initial_bandwidth, dtype=np.int32)
+        codes_lane = np.full(
+            (B, S_max * WORD_SIZE), _READ_CODE["N"], dtype=np.uint8
+        )
+        seg_active = np.zeros((S_max, B), dtype=np.int32)
+        seg_first = np.zeros((S_max, B), dtype=np.int32)
+        seg_slen = np.zeros((S_max, B), dtype=np.int32)
+        seg_rnode = np.full((S_max, B), -1, dtype=np.int32)
+        seg_rlen = np.zeros((S_max, B), dtype=np.int32)
+        seg_start_mask = np.zeros((S_max, B), dtype=bool)
         init_ids = np.full((B, self.Nm), EMPTY, dtype=np.int32)
         init_send = np.full((B, self.Cm), INF, dtype=np.int32)
         init_nmin = np.full((B, self.Nm), INF, dtype=np.int32)
         init_nend = np.full((B, self.Nm), INF, dtype=np.int32)
         init_min = np.zeros(B, dtype=np.int32)
 
-        seed_lanes = [
-            pos for pos, (_, _, carry, _) in enumerate(requests) if carry == "init"
-        ]
-        if seed_lanes:
-            starts = np.array(
-                [problems[requests[pos][0]][1] for pos in seed_lanes], dtype=np.int32
-            )
-            s_ids, s_send, s_nmin, s_nend, s_min = make_seed_carry(
-                self.tables, starts, self.Nm, self.Cm
-            )
-            for j, pos in enumerate(seed_lanes):
-                init_ids[pos] = s_ids[j]
-                init_send[pos] = s_send[j]
-                init_nmin[pos] = s_nmin[j]
-                init_nend[pos] = s_nend[j]
-                init_min[pos] = s_min[j]
-
-        carry_groups: dict = {}  # id(rnd) -> (rnd, [(pos, rec)])
+        carry_groups: dict = {}  # id(rnd) -> (rnd, [(lane, rec)])
+        req_meta = []
         for pos, (i, st, carry, ramp_until) in enumerate(requests):
-            sel[pos] = i
-            start[pos] = st
-            steps[pos] = max(0, (len(problems[i][0]) // WORD_SIZE) - st)
-            for k in range(S_max):
+            l, s0, n = lane_of[pos], step0_of[pos], sizes[pos]
+            req_meta.append((l, s0, n))
+            codes_lane[l, s0 * WORD_SIZE : (s0 + n) * WORD_SIZE] = codes[
+                i, st * WORD_SIZE : (st + n) * WORD_SIZE
+            ]
+            seg_active[s0 : s0 + n, l] = 1
+            seg_slen[s0 : s0 + n, l] = seq_lens[i]
+            seg_start_mask[s0, l] = True
+            if st == 0:
+                seg_first[s0, l] = 1
+            for k in range(n):
                 if st + k <= ramp_until:
-                    bw[k, pos] = self.ramp_bandwidth
-            if carry != "init":
+                    bw[s0 + k, l] = self.ramp_bandwidth
+            if carry == "init":
+                node = problems[i][1]
+                seg_rnode[s0, l] = node
+                seg_rlen[s0, l] = int(self.tables.node_len[node])
+            else:
                 rec: _Rec = carry
                 carry_groups.setdefault(id(rec.rnd), (rec.rnd, []))[1].append(
-                    (pos, rec)
+                    (l, rec)
                 )
-                init_min[pos] = rec.min_score
+                init_min[l] = rec.min_score
         # rewind carries: one batched device gather + fetch per source
         # round (per-lane fetches cost ~40ms each over the remote link)
         import jax.numpy as jnp
@@ -1079,18 +1140,19 @@ class BandedBatchAligner:
                 )
             )  # [n, 3*Nm + Cm]
             Nm = self.Nm
-            for j, (pos, _) in enumerate(recs):
-                init_ids[pos] = packed[j, :Nm]
-                init_nmin[pos] = packed[j, Nm : 2 * Nm]
-                init_nend[pos] = packed[j, 2 * Nm : 3 * Nm]
-                init_send[pos] = packed[j, 3 * Nm :]
+            for j, (l, _) in enumerate(recs):
+                init_ids[l] = packed[j, :Nm]
+                init_nmin[l] = packed[j, Nm : 2 * Nm]
+                init_nend[l] = packed[j, 2 * Nm : 3 * Nm]
+                init_send[l] = packed[j, 3 * Nm :]
 
+        zeros_b = np.zeros(B, dtype=np.int32)
         out = banded_scan(
             *self._device_args(),
-            codes[sel],
-            seq_lens[sel],
-            steps,
-            start,
+            codes_lane,
+            zeros_b,  # seq_len (per-lane scalar; unused in segmented mode)
+            zeros_b,  # num_steps (unused)
+            zeros_b,  # start_slice (unused)
             bw,
             init_ids,
             init_send,
@@ -1104,6 +1166,7 @@ class BandedBatchAligner:
             # equal, 2-hop and a 12-iteration unroll both slower); the
             # while_loop exits at the ~9-12 hops this workload needs
             _proj="pairwise",
+            seg=(seg_active, seg_first, seg_slen, seg_rnode, seg_rlen),
         )
         # enqueue host copies now: they run right after the scan on the
         # device timeline and overlap whatever is dispatched next, so the
@@ -1115,15 +1178,15 @@ class BandedBatchAligner:
                     arr.copy_to_host_async()
                 except Exception:
                     pass
-        return (out, requests, start, steps, bw)
+        return (out, requests, req_meta, seg_start_mask, bw)
 
     def _finish_round(self, pend) -> _Round:
         """Block on a dispatched round's control triple and wrap it."""
-        out, requests, start, steps, bw = pend
+        out, requests, req_meta, seg_start_mask, bw = pend
         rnd = _Round(
             lanes=[r[0] for r in requests],
-            start_slice=start,
-            num_steps=steps,
+            start_slice=np.array([r[1] for r in requests], dtype=np.int32),
+            num_steps=np.array([m[2] for m in req_meta], dtype=np.int32),
             control=np.asarray(out["control"]),
             band_ids_dev=out["band_ids"],
             node_min_dev=out["node_min"],
@@ -1137,6 +1200,9 @@ class BandedBatchAligner:
         )
         rnd._bw = bw
         rnd._carry_from = [r[2] for r in requests]
+        rnd.req_meta = req_meta
+        rnd.req_start = rnd.start_slice
+        rnd._seg_start = seg_start_mask
         return rnd
 
     def _replay_bulk(self, lanes, requests, rnd):
@@ -1150,7 +1216,9 @@ class BandedBatchAligner:
 
         S, B = rnd.min_score.shape
         ms = rnd.min_score.astype(np.float64)
+        seg0 = rnd._seg_start  # [S, B] bool: a fresh problem starts here
         prev = np.concatenate([np.zeros((1, B)), ms[:-1]], axis=0)
+        prev = np.where(seg0, 0.0, prev)  # each segment's chain starts at 0
         delta = np.clip((ms - prev).astype(np.int64), 0, WORD_SIZE)
         lut = np.asarray(_hmm._LOG_FACTORIALS)
         log_choose = lut[WORD_SIZE] - lut[delta] - lut[WORD_SIZE - delta]
@@ -1159,7 +1227,13 @@ class BandedBatchAligner:
         CFC = np.zeros((S, B), bool)
         FFC = np.zeros((S, B), bool)
         CUR = np.zeros((S, B), bool)
+        lp8, lp2 = math.log(0.8), math.log(0.2)
         for k in range(S):
+            # segment boundary: the HMM restarts from its priors (each
+            # packed problem is an independent getSqrtSlices chain)
+            if seg0[k].any():
+                c = np.where(seg0[k], lp8, c)
+                f = np.where(seg0[k], lp2, f)
             CFC[k] = c + _hmm._CORRECT_TO_CORRECT >= f + _hmm._FALSE_TO_CORRECT
             FFC[k] = c + _hmm._CORRECT_TO_FALSE >= f + _hmm._FALSE_TO_FALSE
             nc = np.maximum(
@@ -1182,21 +1256,23 @@ class BandedBatchAligner:
             lane = lanes[i]
             if carry != "init" or st != 0 or ramp_until != 0:
                 continue
-            n = int(rnd.num_steps[pos])
+            l, s0, n = rnd.req_meta[pos]
             if n == 0 or n < lane.num_slices:
                 continue
-            if rnd.overflow[:n, pos].any():
+            if rnd.overflow[s0 : s0 + n, l].any():
                 continue  # the scalar replay reports the failure
-            notcfc = ~CFC[:n, pos]
+            notcfc = ~CFC[s0 : s0 + n, l]
             stop = int(np.argmax(notcfc)) if notcfc.any() else n
-            if ramping and (~CUR[: min(stop + 1, n), pos]).any():
+            if ramping and (~CUR[s0 : s0 + min(stop + 1, n), l]).any():
                 continue  # a rewind may fire; take the literal path
             recs = lane.chain[:stop]
             lane.accepted = recs
             lane.bandwidths = [r.bandwidth for r in recs]
             lane.corr_list = [
                 _corr_flags(
-                    bool(CFC[k, pos]), bool(FFC[k, pos]), bool(CUR[k, pos])
+                    bool(CFC[s0 + k, l]),
+                    bool(FFC[s0 + k, l]),
+                    bool(CUR[s0 + k, l]),
                 )
                 for k in range(stop)
             ]
@@ -1299,13 +1375,13 @@ class BandedBatchAligner:
 
     @staticmethod
     def _carry_matches(rec: _Rec, last) -> bool:
-        """Is the round that produced `rec` seeded from `last`?"""
-        pos = rec.lane_in_round
-        if int(rec.rnd.start_slice[pos]) != rec.slice_i:
+        """Is the request that produced `rec` seeded from `last`?"""
+        r = rec.req_i
+        if int(rec.rnd.req_start[r]) != rec.slice_i:
             return False
         if last == "init":
-            return rec.slice_i == 0 and rec.rnd._carry_from[pos] == "init"
-        return rec.rnd._carry_from[pos] is last
+            return rec.slice_i == 0 and rec.rnd._carry_from[r] == "init"
+        return rec.rnd._carry_from[r] is last
 
     # ---------------------------------------------------------- reconstruction
     def _build_table(self, problem, lane: _LaneState) -> DPTable:
@@ -1360,19 +1436,25 @@ class BandedBatchAligner:
             straight = all(
                 rec.rnd is r0.rnd
                 and rec.lane_in_round == r0.lane_in_round
-                and rec.step == k
+                and rec.step == r0.step + k
                 for k, rec in enumerate(accepted)
             )
             if straight:
                 # the common no-rewind chain: one contiguous slab view
+                # (steps s0..s0+K of the packed lane)
                 lr = r0.lane_in_round
-                t16 = r0.rnd.tie16[:K, :, lr].astype(np.int64)
-                ms = r0.rnd.min_score[:K, lr].astype(np.int64)[:, None]
+                s0 = r0.step
+                t16 = r0.rnd.tie16[s0 : s0 + K, :, lr].astype(np.int64)
+                ms = r0.rnd.min_score[s0 : s0 + K, lr].astype(np.int64)[:, None]
                 tie[:, 1] = (t16 & 0xFFFF) + ms
                 tie[:, 2] = ((t16 >> 16) & 0xFFFF) + ms
-                sub = r0.rnd.tie_ids_sub[: (K + 7) // 8, :, lr]
-                tie[: sub.shape[0] * 8 : 8, 0] = sub[: (K + 7) // 8]
-                check[::8] = 1
+                # subsampled band-id checks exist at absolute steps = 0 mod 8
+                k0 = (-s0) % 8
+                sub = r0.rnd.tie_ids_sub[
+                    (s0 + k0) // 8 : (s0 + K + 7) // 8, :, lr
+                ]
+                tie[k0 : k0 + sub.shape[0] * 8 : 8, 0] = sub
+                check[k0::8] = 1
             else:
                 for k, rec in enumerate(accepted):
                     t16 = rec.rnd.tie16[rec.step, :, rec.lane_in_round]

@@ -124,8 +124,15 @@ _JIT_CACHE: dict = {}
 
 def banded_scan(
     *args, S_max, Nm, Cm, I_proj=32, P_fix=16, unroll=1, use_pallas=None,
-    _ablate=None, _proj="sort2",
+    _ablate=None, _proj="sort2", seg=None,
 ):
+    """seg: optional segmented-lane tables (active, first_slice,
+    seq_len, reset_node, reset_len), each [S_max, B] int32 — when given,
+    a lane holds multiple problems back to back: a step with
+    reset_node >= 0 restarts the carry from that seed node in-scan, and
+    the per-lane scalars (num_steps / start_slice / seq_len) are ignored
+    in favor of the tables. Read codes must then be pre-shifted so step
+    t's 64 rows sit at read_codes[:, t*64:(t+1)*64]."""
     import jax
 
     B = args[6].shape[0]
@@ -136,7 +143,9 @@ def banded_scan(
         use_pallas = (
             jax.default_backend() != "cpu" and Nm <= 32 and K_in <= 5
         )
-    key = (S_max, Nm, Cm, I_proj, P_fix, B, unroll, use_pallas, _ablate, _proj)
+    segmented = seg is not None
+    key = (S_max, Nm, Cm, I_proj, P_fix, B, unroll, use_pallas, _ablate,
+           _proj, segmented)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         fn = jax.jit(
@@ -151,10 +160,13 @@ def banded_scan(
                 use_pallas=use_pallas,
                 _ablate=_ablate,
                 _proj=_proj,
+                segmented=segmented,
             )
         )
         _JIT_CACHE[key] = fn
     # match table passed as an argument, not closed over (see note below)
+    if segmented:
+        return fn(*args, _MATCH_TABLE, *seg)
     return fn(*args, _MATCH_TABLE)
 
 def _banded_scan(
@@ -178,7 +190,8 @@ def _banded_scan(
     init_node_end,  # [B, Nm] int32 (last cell last-row score)
     init_min,  # [B] int32
     match_table,  # [R, 5] bool read-code x graph-code match table
-    *,
+    # segmented-mode tables ([S_max, B] int32 each; see banded_scan.seg)
+    *seg_tables,
     S_max: int,
     Nm: int,
     Cm: int,
@@ -188,6 +201,7 @@ def _banded_scan(
     use_pallas: bool = False,
     _ablate=None,
     _proj="sort2",
+    segmented: bool = False,
 ):
     """All internal arrays are laid out with the batch as the LAST axis
     ([Nm, B], [Cm, B], [K, Cm, B]) and per-field (never a trailing
@@ -373,9 +387,32 @@ def _banded_scan(
     # -------------------------------------------------------------- slice step
     def slice_step(carry, xs):
         p_ids, p_cell_send, p_node_min, p_node_end, p_min = carry  # [Nm|Cm, B]
-        bw, t = xs  # [B], scalar
-        active = t < num_steps  # [B]
-        g_slice = start_slice + t  # [B] global slice index
+        if segmented:
+            bw, t, seg_active, seg_first, seg_slen, seg_rnode, seg_rlen = xs
+            active = seg_active == 1
+            first_slice = seg_first == 1
+            seq_len_v = seg_slen
+            # segment start: restart the carry from the seed node
+            # in-scan (== make_seed_carry) so many problems share a lane
+            resetting = seg_rnode >= 0  # [B]
+            rnode = jnp.where(resetting, seg_rnode, 0)
+            slot0 = (iota_nm == 0)[:, None]  # [Nm, 1]
+            rm = resetting[None, :]
+            p_ids = jnp.where(rm, jnp.where(slot0, rnode[None, :], EMPTY), p_ids)
+            p_cell_send = jnp.where(
+                rm,
+                jnp.where(iota_cm[:, None] < seg_rlen[None, :], 0, INF),
+                p_cell_send,
+            )
+            p_node_min = jnp.where(rm, jnp.where(slot0, 0, INF), p_node_min)
+            p_node_end = jnp.where(rm, jnp.where(slot0, 0, INF), p_node_end)
+            p_min = jnp.where(resetting, 0, p_min)
+        else:
+            bw, t = xs  # [B], scalar
+            active = t < num_steps  # [B]
+            g_slice = start_slice + t  # [B] global slice index
+            first_slice = g_slice == 0
+            seq_len_v = seq_len
 
         if _ablate == "noproj":
             ids_bn, proj_over = p_ids.T, jnp.zeros(B, bool)
@@ -437,7 +474,7 @@ def _banded_scan(
             nb_cur_slot.append(cur_slot_k)
         band_source = ~any_banded & valid_slot
         src_noprev_slot = band_source & ~node_in_prev
-        src_sm_slot = band_source & node_in_prev & (g_slice == 0)[None, :]
+        src_sm_slot = band_source & node_in_prev & first_slice[None, :]
         pred_tab = jnp.zeros((Nm, B), jnp.int32)
         for k in range(K_in):
             pred_tab = pred_tab | (
@@ -446,12 +483,22 @@ def _banded_scan(
             )
 
         # ---- per-slice Eq words for the 5 graph codes ([5, B]) -------------
-        rc_base = jnp.clip(g_slice * WORD_SIZE, 0, read_codes.shape[1] - WORD_SIZE)
-        rc = jnp.take_along_axis(
-            read_codes.astype(jnp.int32),
-            rc_base[:, None] + jax.lax.iota(jnp.int32, WORD_SIZE)[None, :],
-            axis=1,
-        )  # [B, 64]
+        if segmented:
+            # pre-shifted codes: one uniform dynamic_slice, no gather
+            rc = jax.lax.dynamic_slice(
+                read_codes.astype(jnp.int32),
+                (0, t * WORD_SIZE),
+                (B, WORD_SIZE),
+            )  # [B, 64]
+        else:
+            rc_base = jnp.clip(
+                g_slice * WORD_SIZE, 0, read_codes.shape[1] - WORD_SIZE
+            )
+            rc = jnp.take_along_axis(
+                read_codes.astype(jnp.int32),
+                rc_base[:, None] + jax.lax.iota(jnp.int32, WORD_SIZE)[None, :],
+                axis=1,
+            )  # [B, 64]
         w32 = jnp.uint32(1) << jax.lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
         eq_lo_codes = []
         eq_hi_codes = []
@@ -564,7 +611,7 @@ def _banded_scan(
                     ps_arr,
                     eq_lo_tab,
                     eq_hi_tab,
-                    seq_len[None, :],
+                    seq_len_v[None, :],
                     buf_init,
                     K_in=K_in,
                     Bb=min(256, B),
@@ -637,8 +684,8 @@ def _banded_scan(
                 has_ps = pseudo_o < INF
                 sbs_p = jnp.where(has_ps, pseudo_o + 1, INF)
                 a_p = jnp.where(has_ps, pseudo_o + 1 - match0, INF + 1)
-                sbs_s = jnp.where(srcnp, seq_len + 1, INF)
-                a_s = jnp.where(srcnp, seq_len + 2, INF + 1)
+                sbs_s = jnp.where(srcnp, seq_len_v + 1, INF)
+                a_s = jnp.where(srcnp, seq_len_v + 2, INF + 1)
                 sbs_f = jnp.minimum(jnp.minimum(sbs_b, sbs_p), sbs_s)
                 a_f = jnp.minimum(jnp.minimum(a_b, a_p), a_s)
                 delta = a_f - sbs_f  # in [-1, 1]
@@ -851,7 +898,21 @@ def _banded_scan(
     # cols buffer every step). Instead the caller quantizes S_max to a
     # small bucket ladder and sorts problems by length so each chunk's
     # true length sits near its bucket.
-    xs = (bandwidth, jax.lax.iota(jnp.int32, S_max))
+    if segmented:
+        seg_active_t, seg_first_t, seg_slen_t, seg_rnode_t, seg_rlen_t = (
+            seg_tables
+        )
+        xs = (
+            bandwidth,
+            jax.lax.iota(jnp.int32, S_max),
+            seg_active_t,
+            seg_first_t,
+            seg_slen_t,
+            seg_rnode_t,
+            seg_rlen_t,
+        )
+    else:
+        xs = (bandwidth, jax.lax.iota(jnp.int32, S_max))
     _, ys = jax.lax.scan(slice_step, carry0, xs)
     (
         band_ids,
