@@ -81,6 +81,18 @@ _FLAGS_POOL: dict = {}
 _DECODE_POOL = None
 
 
+def set_host_threads(n: int) -> None:
+    """Size the host-side native worker pool (the CLI -t flag;
+    reference Aligner.cpp:275-298 thread count)."""
+    global _DECODE_POOL
+    from concurrent.futures import ThreadPoolExecutor
+
+    old = _DECODE_POOL
+    _DECODE_POOL = ThreadPoolExecutor(max_workers=max(1, int(n)))
+    if old is not None:
+        old.shutdown(wait=False)
+
+
 def _decode_pool():
     """Shared worker pool for host-side native decode/encode (the ctypes
     calls release the GIL). Size follows GA_THREADS or the CLI -t flag
@@ -304,6 +316,8 @@ class BandedBatchAligner:
         Nm: int | None = None,
         Cm: int | None = None,
         max_rounds: int = 6,
+        mesh=None,
+        mesh_axis: str = "dp",
         _tables=None,
         _rev_pos=None,
         _tier: int = 0,
@@ -330,6 +344,8 @@ class BandedBatchAligner:
                 Cm *= 2
         self.Nm = Nm
         self.Cm = Cm
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         self.tier = _tier
         self.max_rounds = max_rounds
         if _rev_pos is not None:
@@ -354,6 +370,8 @@ class BandedBatchAligner:
                 Nm=min(self.Nm * 2, 32),
                 Cm=max(self.Cm * 2, 448),
                 max_rounds=self.max_rounds,
+                mesh=self.mesh,
+                mesh_axis=self.mesh_axis,
                 _tables=self.tables,
                 _rev_pos=self.rev_pos,
                 _tier=self.tier + 1,
@@ -1077,6 +1095,9 @@ class BandedBatchAligner:
             B = 512
             while B < n_lanes:
                 B *= 2
+        if self.mesh is not None:
+            nd = self.mesh.devices.size
+            B = -(-B // nd) * nd  # shard_map needs the batch axis divisible
         bw = np.full((S_max, B), self.initial_bandwidth, dtype=np.int32)
         codes_lane = np.full(
             (B, S_max * WORD_SIZE), _READ_CODE["N"], dtype=np.uint8
@@ -1167,6 +1188,8 @@ class BandedBatchAligner:
             # while_loop exits at the ~9-12 hops this workload needs
             _proj="pairwise",
             seg=(seg_active, seg_first, seg_slen, seg_rnode, seg_rlen),
+            mesh=self.mesh,
+            mesh_axis=self.mesh_axis,
         )
         # enqueue host copies now: they run right after the scan on the
         # device timeline and overlap whatever is dispatched next, so the

@@ -124,7 +124,7 @@ _JIT_CACHE: dict = {}
 
 def banded_scan(
     *args, S_max, Nm, Cm, I_proj=32, P_fix=16, unroll=1, use_pallas=None,
-    _ablate=None, _proj="sort2", seg=None,
+    _ablate=None, _proj="sort2", seg=None, mesh=None, mesh_axis="dp",
 ):
     """seg: optional segmented-lane tables (active, first_slice,
     seq_len, reset_node, reset_len), each [S_max, B] int32 — when given,
@@ -144,30 +144,88 @@ def banded_scan(
             jax.default_backend() != "cpu" and Nm <= 32 and K_in <= 5
         )
     segmented = seg is not None
+    mesh_key = (
+        (tuple(d.id for d in mesh.devices.flat), mesh_axis)
+        if mesh is not None
+        else None
+    )
     key = (S_max, Nm, Cm, I_proj, P_fix, B, unroll, use_pallas, _ablate,
-           _proj, segmented)
+           _proj, segmented, mesh_key)
     fn = _JIT_CACHE.get(key)
     if fn is None:
-        fn = jax.jit(
-            functools.partial(
-                _banded_scan,
-                S_max=S_max,
-                Nm=Nm,
-                Cm=Cm,
-                I_proj=I_proj,
-                P_fix=P_fix,
-                unroll=unroll,
-                use_pallas=use_pallas,
-                _ablate=_ablate,
-                _proj=_proj,
-                segmented=segmented,
-            )
+        inner = functools.partial(
+            _banded_scan,
+            S_max=S_max,
+            Nm=Nm,
+            Cm=Cm,
+            I_proj=I_proj,
+            P_fix=P_fix,
+            unroll=unroll,
+            use_pallas=use_pallas,
+            _ablate=_ablate,
+            _proj=_proj,
+            segmented=segmented,
         )
+        if mesh is not None:
+            # data-parallel multi-chip: the problem batch splits along
+            # the mesh axis via shard_map, graph tables replicate, and
+            # every lane's band scan (INCLUDING the Pallas cell kernel
+            # on TPU backends) runs entirely on its device — zero
+            # collectives, mirroring the reference's independent
+            # per-thread reads (Aligner.cpp:290)
+            inner = _shard_banded(inner, mesh, mesh_axis, segmented)
+        fn = jax.jit(inner)
         _JIT_CACHE[key] = fn
     # match table passed as an argument, not closed over (see note below)
     if segmented:
         return fn(*args, _MATCH_TABLE, *seg)
     return fn(*args, _MATCH_TABLE)
+
+
+
+def _shard_banded(fn, mesh, axis, segmented):
+    '''Wrap a configured _banded_scan in shard_map over `mesh`: batch
+    (last) axis sharded, graph tables + match table replicated.'''
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    rep = P()
+    in_specs = (
+        (rep,) * 6  # graph tables, replicated
+        + (P(axis), P(axis), P(axis), P(axis), P(None, axis))  # per-problem
+        + (P(axis),) * 5  # init carry
+        + (rep,)  # match table
+    )
+    if segmented:
+        in_specs = in_specs + (P(None, axis),) * 5
+    out_specs = {
+        "tie16": P(None, None, axis),
+        "ids_sub": P(None, None, axis),
+        "band_ids": P(None, None, axis),
+        "node_min": P(None, None, axis),
+        "node_end": P(None, None, axis),
+        "min_score": P(None, axis),
+        "num_cells": P(None, axis),
+        "overflow": P(None, axis),
+        "control": P(None, None, axis),
+        "cols": P(None, None, None, axis),
+        "sends": P(None, None, axis),
+        "lens_tab": P(None, None, axis),
+        "pred_tab": P(None, None, axis),
+    }
+    try:
+        return shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except TypeError:  # older jax spelling
+        return shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
 
 def _banded_scan(
     # graph tables

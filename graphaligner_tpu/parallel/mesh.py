@@ -87,8 +87,16 @@ def shard_banded_scan(graph, mesh, Nm: int = 8, Cm: int = 64, axis: str = "dp"):
 
     def run(codes, seq_lens, steps, start, bw, init_ids, init_send,
             init_nmin, init_nend, init_min, *, S_max: int):
+        # use_pallas follows the backend (the production Mosaic cell
+        # kernel runs under shard_map on TPU meshes; CPU meshes take the
+        # XLA path) — the round-1 use_pallas=False pin is gone
+        use_pallas = (
+            jax.default_backend() != "cpu"
+            and Nm <= 32
+            and tables.k_in <= 5
+        )
         fn = functools.partial(
-            _banded_scan, S_max=S_max, Nm=Nm, Cm=Cm, use_pallas=False
+            _banded_scan, S_max=S_max, Nm=Nm, Cm=Cm, use_pallas=use_pallas
         )
         rep = P()
         in_specs = (

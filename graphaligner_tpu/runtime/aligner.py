@@ -92,6 +92,7 @@ def align_reads(
     slice_backend=None,
     backend: str = "oracle",
     device_batch: int = 256,
+    mesh_axis: str = "none",
 ) -> list:
     """Align all reads; returns the list of output vg Alignments.
 
@@ -123,7 +124,7 @@ def align_reads(
         try:
             return _align_reads_seeded_batched(
                 params, graph, fastqs, seed_hits, log, output_dir,
-                max(device_batch, 4096),
+                max(device_batch, 4096), mesh_axis=mesh_axis,
             )
         except Exception:
             # the reference isolates failures per read (Aligner.cpp:124-148);
@@ -206,16 +207,32 @@ def align_reads(
 
 
 def _align_reads_seeded_batched(
-    params, graph, fastqs, seed_hits, log, output_dir: str, device_batch: int
+    params, graph, fastqs, seed_hits, log, output_dir: str,
+    device_batch: int, mesh_axis: str = "none",
 ) -> list:
     """Seeded banded alignment through the batched device engine
     (core.batch_align): reads are aligned in device-sized chunks; per-read
     GAM/trace outputs and the final concatenated GAM mirror the per-read
-    path byte for byte."""
-    from ..core.batch_align import BandedBatchAligner, align_reads_seeded_batch
+    path byte for byte. mesh_axis='dp' shards every device batch
+    data-parallel over all local devices via shard_map (the multi-chip
+    analog of the reference's thread pool, Aligner.cpp:275-314)."""
+    from ..core.batch_align import (
+        BandedBatchAligner,
+        align_reads_seeded_batch,
+        set_host_threads,
+    )
 
+    if params.num_threads and params.num_threads > 1:
+        set_host_threads(params.num_threads)
+    mesh = None
+    if mesh_axis and mesh_axis != "none":
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(axis=mesh_axis)
+        log(f"device mesh: {mesh.devices.size} devices along '{mesh_axis}'")
     aligner = BandedBatchAligner(
-        graph, params.initial_bandwidth, params.ramp_bandwidth
+        graph, params.initial_bandwidth, params.ramp_bandwidth,
+        mesh=mesh, mesh_axis=mesh_axis if mesh is not None else "dp",
     )
     alignments: list = []
     order = list(reversed(fastqs))  # match the per-read path's order

@@ -34,6 +34,13 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["oracle", "jax"],
         help="slice compute backend (oracle = scalar host, jax = TPU engine)",
     )
+    p.add_argument(
+        "--mesh",
+        default="none",
+        choices=["none", "dp"],
+        help="shard the device batch data-parallel over all local devices "
+        "(jax backend only)",
+    )
     return p
 
 
@@ -66,7 +73,7 @@ def main(argv=None) -> int:
         dynamic_row_start=args.dynamic_row_start,
         initial_full_band=args.initial_full_band,
     )
-    align_reads(params, backend=args.backend)
+    align_reads(params, backend=args.backend, mesh_axis=args.mesh)
     return 0
 
 

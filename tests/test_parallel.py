@@ -43,6 +43,33 @@ def test_mesh_sharded_alignment_matches_single_device():
         assert (sharded_send == view._score_end).all()
 
 
+def test_mesh_sharded_end_to_end_gam_bytes_equal():
+    """VERDICT r1 item 3: the driver path (BandedBatchAligner with a dp
+    mesh) must produce byte-identical GAM payloads to the single-device
+    run — not just matching final-slice scores."""
+    from graphaligner_tpu.core.batch_align import (
+        BandedBatchAligner,
+        align_reads_seeded_batch,
+    )
+    from graphaligner_tpu.runtime.aligner import load_seed_hits
+
+    graph = load_alignment_graph(f"{SIM}/bubbles.vg")
+    reads = load_fastq(f"{SIM}/sim.fastq")
+    seeds = load_seed_hits(f"{SIM}/seeds.gam", [r.seq_id for r in reads])
+    single = BandedBatchAligner(graph, 35, 0)
+    res_single = align_reads_seeded_batch(graph, single, reads, seeds)
+    mesh = make_mesh()
+    sharded = BandedBatchAligner(graph, 35, 0, mesh=mesh)
+    res_sharded = align_reads_seeded_batch(graph, sharded, reads, seeds)
+    assert set(res_single) == set(res_sharded)
+    for sid in res_single:
+        a, b = res_single[sid], res_sharded[sid]
+        assert a.alignment_failed == b.alignment_failed, sid
+        if a.alignment_failed:
+            continue
+        assert a.alignment.encode() == b.alignment.encode(), sid
+
+
 def test_distributed_shard_helpers(tmp_path):
     reads = list(range(10))
     shards = [distributed.shard_reads_for_host(reads, i, 3) for i in range(3)]
