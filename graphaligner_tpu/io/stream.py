@@ -74,7 +74,12 @@ def read_messages(path: str, message_cls) -> list:
 
 def frame_messages(messages: Iterable, group_size: int = 1000) -> bytes:
     """Frame encoded messages into uncompressed stream layout."""
-    payloads = [m.encode() for m in messages]
+    return frame_payloads([m.encode() for m in messages], group_size)
+
+
+def frame_payloads(payloads: list, group_size: int = 1000) -> bytes:
+    """Frame already-encoded message payloads (no protobuf decode/encode
+    round trip — the streaming-merge path)."""
     out = bytearray()
     for start in range(0, len(payloads), group_size) or [0]:
         group = payloads[start : start + group_size]
@@ -85,6 +90,23 @@ def frame_messages(messages: Iterable, group_size: int = 1000) -> bytes:
     if not payloads:
         out += wire.encode_varint(0)
     return bytes(out)
+
+
+def write_payloads(path: str, payloads: list, group_size: int = 1000) -> None:
+    """Write raw message payloads as a gzip-compressed vg stream file —
+    byte-identical to write_messages of the decoded objects, without
+    touching protobuf."""
+    from . import native
+
+    framed = frame_payloads(payloads, group_size)
+    compressed = native.gzip_bytes(framed, level=6)
+    if compressed is None:
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", compresslevel=6, mtime=0) as gz:
+            gz.write(framed)
+        compressed = buf.getvalue()
+    with open(path, "wb") as f:
+        f.write(compressed)
 
 
 def write_messages(path: str, messages: Iterable, group_size: int = 1000) -> None:

@@ -25,6 +25,15 @@ def initialize(coordinator_address: str | None = None, num_processes: int | None
     import jax
 
     if coordinator_address is not None:
+        if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+            # CPU multi-process needs the gloo collectives client or the
+            # backend stays single-process (process_count() == 1)
+            try:
+                jax.config.update(
+                    "jax_cpu_collectives_implementation", "gloo"
+                )
+            except Exception:
+                pass
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
@@ -50,11 +59,34 @@ def write_host_shard(alignment_file: str, alignments: list, process_index: int) 
     return path
 
 
+def barrier(name: str = "ga-shards") -> None:
+    """Block until every process reaches this point (host 0 must not
+    merge before the other hosts finish writing their shards). No-op for
+    single-process runs."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
 def merge_shards(alignment_file: str, process_count: int) -> int:
-    """Concatenate per-host GAM shards into the final file (run on host 0
-    after a barrier, or offline). Returns the alignment count."""
-    merged = []
+    """Merge per-host GAM shards into the final file (host 0, after
+    barrier()) as a STREAM: raw message payloads are re-framed without
+    protobuf decode/encode (decoding every alignment made host 0 the
+    pangenome-scale bottleneck), and shards are interleaved round-robin
+    to undo the strided read split, so the merged bytes equal a
+    single-process run's output exactly. Returns the alignment count."""
+    per_shard = []
     for i in range(process_count):
-        merged.extend(stream.read_messages(shard_path(alignment_file, i), vg.Alignment))
-    stream.write_messages(alignment_file, merged)
+        with open(shard_path(alignment_file, i), "rb") as f:
+            per_shard.append(list(stream.iter_messages(f.read())))
+    merged = []
+    for j in range(max(len(s) for s in per_shard) if per_shard else 0):
+        for s in per_shard:
+            if j < len(s):
+                merged.append(s[j])
+    stream.write_payloads(alignment_file, merged)
     return len(merged)

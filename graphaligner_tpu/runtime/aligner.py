@@ -85,7 +85,23 @@ def load_seed_hits(seed_file: str, read_names) -> dict:
     return {name: seeds.get(name, []) for name in read_names}
 
 
-def align_reads(
+def align_reads(params: AlignerParams, *args, **kwargs) -> list:
+    """Public driver entry; handles the multi-host merge tail around
+    _align_reads_impl (see its docstring)."""
+    process_index = kwargs.get("process_index")
+    process_count = kwargs.get("process_count")
+    out = _align_reads_impl(params, *args, **kwargs)
+    if process_count is not None and process_count > 1:
+        from ..parallel import distributed as _dist
+
+        _dist.barrier()
+        if process_index == 0 and params.alignment_file:
+            n = _dist.merge_shards(params.alignment_file, process_count)
+            print(f"merged {n} alignments from {process_count} host shards")
+    return out
+
+
+def _align_reads_impl(
     params: AlignerParams,
     log=print,
     output_dir: str = ".",
@@ -93,6 +109,8 @@ def align_reads(
     backend: str = "oracle",
     device_batch: int = 256,
     mesh_axis: str = "none",
+    process_index: int | None = None,
+    process_count: int | None = None,
 ) -> list:
     """Align all reads; returns the list of output vg Alignments.
 
@@ -101,7 +119,37 @@ def align_reads(
     and full-band (-i) through the batched exhaustive engine;
     backend='oracle' runs everything on the scalar host pipeline.
     """
+    dist = process_count is not None and process_count > 1
+    final_alignment_file = params.alignment_file
+    if dist:
+        # multi-host: each process aligns its strided read shard into a
+        # per-host GAM shard; host 0 stream-merges after the barrier
+        # (the pod-scale analog of Aligner.cpp:276-314)
+        from dataclasses import replace as _dc_replace
+
+        from ..parallel import distributed as _dist
+
+        params = _dc_replace(
+            params,
+            alignment_file=_dist.shard_path(
+                final_alignment_file, process_index
+            )
+            if final_alignment_file
+            else "",
+        )
     fastqs = load_fastq(params.fastq_file)
+    if dist:
+        from ..parallel import distributed as _dist
+
+        # stride over the driver's TRAVERSAL order (back-to-front, the
+        # reference's shared stack) so the round-robin shard merge
+        # reconstructs the single-process output order byte for byte
+        traversal = list(reversed(fastqs))
+        shard = _dist.shard_reads_for_host(
+            traversal, process_index, process_count
+        )
+        fastqs = list(reversed(shard))
+        log(f"process {process_index}/{process_count}: {len(fastqs)} reads")
     log(f"{len(fastqs)} reads")
     seed_hits = None
     if params.seed_file:

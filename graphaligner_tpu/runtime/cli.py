@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["oracle", "jax"],
         help="slice compute backend (oracle = scalar host, jax = TPU engine)",
     )
+    p.add_argument("--coordinator", default="", help="multi-host: coordinator address host:port (jax.distributed)")
+    p.add_argument("--num-processes", type=int, default=0)
+    p.add_argument("--process-id", type=int, default=-1)
     p.add_argument(
         "--mesh",
         default="none",
@@ -73,7 +76,20 @@ def main(argv=None) -> int:
         dynamic_row_start=args.dynamic_row_start,
         initial_full_band=args.initial_full_band,
     )
-    align_reads(params, backend=args.backend, mesh_axis=args.mesh)
+    pidx = pcount = None
+    if args.coordinator:
+        from ..parallel import distributed
+
+        pidx, pcount = distributed.initialize(
+            args.coordinator, args.num_processes, args.process_id
+        )
+    align_reads(
+        params,
+        backend=args.backend,
+        mesh_axis=args.mesh,
+        process_index=pidx,
+        process_count=pcount,
+    )
     return 0
 
 
