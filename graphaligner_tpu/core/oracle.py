@@ -51,6 +51,10 @@ from .params import WORD_SIZE
 
 BIG = np.int64(1 << 40)
 
+# Band size (cells) at which compute_slice switches to the native C++
+# slice engine (tests force 0 / a huge value to pin a path).
+NATIVE_MIN_CELLS = 512
+
 
 @dataclass
 class SliceScores:
@@ -296,52 +300,41 @@ def compute_slice(
         if n not in prev_set:
             f = node_first[n]
             sbs[f] = min(sbs[f], seq_len_plus1)
-    # min-closure with +1 horizontal steps (Dijkstra)
-    heap = [(int(sbs[c]), c) for c in range(C) if sbs[c] < BIG]
-    heapq.heapify(heap)
-    dist = sbs.copy()
-    while heap:
-        d, c = heapq.heappop(heap)
-        if d > dist[c]:
-            continue
-        nxts = []
-        if c + 1 < C and chain_from[c + 1] == c:
-            nxts.append(c + 1)
-        # node-last cell: edges to banded successors' first cells
-        pos = cell_pos[c]
-        node = graph.index_to_node(pos)
-        if pos == graph.node_end[node] - 1:
-            for nb in graph.out_neighbors(node):
-                nb = int(nb)
-                if nb in band_set:
-                    nxts.append(node_first[nb])
-        for t in nxts:
-            nd = d + 1
-            if nd < dist[t]:
-                dist[t] = nd
-                heapq.heappush(heap, (nd, t))
-    sbs = dist
-    sbs_exists = in_prev_band & (old_end == sbs) & old_end_exists
-
-    # --- rows 0..63 ---------------------------------------------------------
-    rows = np.full((WORD_SIZE, C), BIG, dtype=np.int64)
-    # read-row × cell match; code 4 (dummy '-') never matches (reference
+    # read-row x cell match; code 4 (dummy '-') never matches (reference
     # EqVector.getEq returns 0 for non-ACGT in NDEBUG, GraphAligner.h:93-98)
     match_ext = np.zeros((WORD_SIZE, 5), dtype=bool)
     match_ext[:, :4] = match
     match_cell = match_ext[:, codes]  # [64, C]
 
-    def horizontal_closure(vals: np.ndarray) -> np.ndarray:
-        d = vals.copy()
-        h = [(int(d[c]), c) for c in range(C) if d[c] < BIG]
-        heapq.heapify(h)
-        while h:
-            dd, c = heapq.heappop(h)
-            if dd > d[c]:
+    # ---- native fast path (the giant-band method) --------------------------
+    # For big bands (>= 512 cells; the reference's alternate-method regime
+    # reaches 200k bp) the closures + 64-row loop run in C++ with Dial
+    # bucket queues (native/ga_native.cpp::ga_compute_slice) — identical
+    # values, ~1000x the Python loop below, which remains the behavioral
+    # specification and the small-band path.
+    native_res = None
+    if C >= NATIVE_MIN_CELLS:
+        native_res = _native_slice(
+            graph, band_nodes, band_set, node_first, node_len, cell_pos,
+            chain_from, start_preds, pseudo_preds, band_sources, prev_set,
+            match_cell, sbs, old_end, old_end_exists, in_prev_band,
+            slice_index, C,
+        )
+    if native_res is not None:
+        sbs, sbs_exists, rows = native_res
+    else:
+        # min-closure with +1 horizontal steps (Dijkstra)
+        heap = [(int(sbs[c]), c) for c in range(C) if sbs[c] < BIG]
+        heapq.heapify(heap)
+        dist = sbs.copy()
+        while heap:
+            d, c = heapq.heappop(heap)
+            if d > dist[c]:
                 continue
             nxts = []
             if c + 1 < C and chain_from[c + 1] == c:
                 nxts.append(c + 1)
+            # node-last cell: edges to banded successors' first cells
             pos = cell_pos[c]
             node = graph.index_to_node(pos)
             if pos == graph.node_end[node] - 1:
@@ -350,67 +343,96 @@ def compute_slice(
                     if nb in band_set:
                         nxts.append(node_first[nb])
             for t in nxts:
-                nd = dd + 1
-                if nd < d[t]:
-                    d[t] = nd
-                    heapq.heappush(h, (nd, t))
-        return d
+                nd = d + 1
+                if nd < dist[t]:
+                    dist[t] = nd
+                    heapq.heappush(heap, (nd, t))
+        sbs = dist
+        sbs_exists = in_prev_band & (old_end == sbs) & old_end_exists
 
-    prev_row = None
-    for r in range(WORD_SIZE):
-        if r == 0:
-            cur = sbs + 1  # vertical from row j-1
-            # diagonal from predecessor's row j-1: match costs 0 only when
-            # the predecessor's sbs exists (≡ Eq&=~1 gating in getNextSlice)
-            diag_src = sbs
-            diag_exists = sbs_exists
-        else:
-            cur = prev_row + 1
-            diag_src = prev_row
-            diag_exists = None  # in-slice rows always allow matches
-        # within-node diagonals and horizontals seeds (horizontal done in
-        # closure; diagonal seeded here)
-        shifted = np.empty(C, dtype=np.int64)
-        shifted[1:] = diag_src[:-1]
-        shifted[0] = BIG
-        valid = chain_from >= 0
-        if diag_exists is None:
-            cost = np.where(match_cell[r], 0, 1)
-        else:
-            ex = np.empty(C, dtype=bool)
-            ex[1:] = diag_exists[:-1]
-            ex[0] = False
-            cost = np.where(match_cell[r] & ex, 0, 1)
-        cand = np.where(valid, shifted + cost, BIG)
-        cur = np.minimum(cur, cand)
-        # node-start diagonals from banded in-neighbors
-        for cell, preds in start_preds.items():
-            for p in preds:
-                if diag_exists is None:
-                    cost = 0 if match_cell[r, cell] else 1
-                else:
-                    cost = 0 if (match_cell[r, cell] and diag_exists[p]) else 1
-                cur[cell] = min(cur[cell], diag_src[p] + cost)
-        # pseudo columns from previous-band-only in-neighbors
-        # (column value at row j+k is old+k+1; diagonal matches only row 0)
-        for cell, olds in pseudo_preds.items():
-            for o in olds:
-                if r == 0:
-                    cost = 0 if match_cell[0, cell] else 1
-                    cur[cell] = min(cur[cell], o + cost)
-                else:
-                    cur[cell] = min(cur[cell], o + r + 1)
-        # free-start diagonal for band-source nodes in the previous band at
-        # the very first slice (≡ getSourceSliceFromStartMatch)
-        if r == 0 and slice_index == 0:
-            for n in band_sources:
-                if n in prev_set:
-                    f = node_first[n]
-                    cost = 0 if match_cell[0, f] else 1
-                    cur[f] = min(cur[f], sbs[f] + cost)
-        cur = horizontal_closure(cur)
-        rows[r] = cur
-        prev_row = cur
+        # --- rows 0..63 -----------------------------------------------------
+        rows = np.full((WORD_SIZE, C), BIG, dtype=np.int64)
+
+        def horizontal_closure(vals: np.ndarray) -> np.ndarray:
+            d = vals.copy()
+            h = [(int(d[c]), c) for c in range(C) if d[c] < BIG]
+            heapq.heapify(h)
+            while h:
+                dd, c = heapq.heappop(h)
+                if dd > d[c]:
+                    continue
+                nxts = []
+                if c + 1 < C and chain_from[c + 1] == c:
+                    nxts.append(c + 1)
+                pos = cell_pos[c]
+                node = graph.index_to_node(pos)
+                if pos == graph.node_end[node] - 1:
+                    for nb in graph.out_neighbors(node):
+                        nb = int(nb)
+                        if nb in band_set:
+                            nxts.append(node_first[nb])
+                for t in nxts:
+                    nd = dd + 1
+                    if nd < d[t]:
+                        d[t] = nd
+                        heapq.heappush(h, (nd, t))
+            return d
+
+        prev_row = None
+        for r in range(WORD_SIZE):
+            if r == 0:
+                cur = sbs + 1  # vertical from row j-1
+                # diagonal from predecessor's row j-1: match costs 0 only when
+                # the predecessor's sbs exists (== Eq&=~1 gating in getNextSlice)
+                diag_src = sbs
+                diag_exists = sbs_exists
+            else:
+                cur = prev_row + 1
+                diag_src = prev_row
+                diag_exists = None  # in-slice rows always allow matches
+            # within-node diagonals and horizontals seeds (horizontal done in
+            # closure; diagonal seeded here)
+            shifted = np.empty(C, dtype=np.int64)
+            shifted[1:] = diag_src[:-1]
+            shifted[0] = BIG
+            valid = chain_from >= 0
+            if diag_exists is None:
+                cost = np.where(match_cell[r], 0, 1)
+            else:
+                ex = np.empty(C, dtype=bool)
+                ex[1:] = diag_exists[:-1]
+                ex[0] = False
+                cost = np.where(match_cell[r] & ex, 0, 1)
+            cand = np.where(valid, shifted + cost, BIG)
+            cur = np.minimum(cur, cand)
+            # node-start diagonals from banded in-neighbors
+            for cell, preds in start_preds.items():
+                for pd in preds:
+                    if diag_exists is None:
+                        cost = 0 if match_cell[r, cell] else 1
+                    else:
+                        cost = 0 if (match_cell[r, cell] and diag_exists[pd]) else 1
+                    cur[cell] = min(cur[cell], diag_src[pd] + cost)
+            # pseudo columns from previous-band-only in-neighbors
+            # (column value at row j+k is old+k+1; diagonal matches only row 0)
+            for cell, olds in pseudo_preds.items():
+                for o in olds:
+                    if r == 0:
+                        cost = 0 if match_cell[0, cell] else 1
+                        cur[cell] = min(cur[cell], o + cost)
+                    else:
+                        cur[cell] = min(cur[cell], o + r + 1)
+            # free-start diagonal for band-source nodes in the previous band at
+            # the very first slice (== getSourceSliceFromStartMatch)
+            if r == 0 and slice_index == 0:
+                for n in band_sources:
+                    if n in prev_set:
+                        f = node_first[n]
+                        cost = 0 if match_cell[0, f] else 1
+                        cur[f] = min(cur[f], sbs[f] + cost)
+            cur = horizontal_closure(cur)
+            rows[r] = cur
+            prev_row = cur
 
     # --- package ------------------------------------------------------------
     out_sbs, out_sbs_e, out_rows, out_ee, node_min = {}, {}, {}, {}, {}
@@ -459,4 +481,58 @@ def compute_slice(
         bandwidth=bandwidth,
         num_cells=C,
         cells_processed=C * WORD_SIZE,
+    )
+
+
+def _native_slice(graph, band_nodes, band_set, node_first, node_len, cell_pos,
+                  chain_from, start_preds, pseudo_preds, band_sources,
+                  prev_set, match_cell, seed_sbs, old_end, old_end_exists,
+                  in_prev_band, slice_index, C):
+    """Build the flat arrays for native.compute_slice_rows; None when the
+    native library is unavailable."""
+    from ..io import native
+
+    if native.get_lib() is None:
+        return None
+    chain = (chain_from >= 0).astype(np.uint8)
+    # cross-edges: node-last cell -> banded successors' first cells (CSR)
+    edge_ptr = np.zeros(C + 1, dtype=np.int64)
+    froms: list = []
+    tos: list = []
+    for n in band_nodes:
+        n = int(n)
+        last = node_first[n] + node_len[n] - 1
+        for nb in graph.out_neighbors(n):
+            nb = int(nb)
+            if nb in band_set:
+                froms.append(last)
+                tos.append(node_first[nb])
+    froms_a = np.asarray(froms, dtype=np.int64)
+    tos_a = np.asarray(tos, dtype=np.int32)
+    order = np.argsort(froms_a, kind="stable")
+    froms_a = froms_a[order]
+    tos_a = tos_a[order]
+    np.add.at(edge_ptr, froms_a + 1, 1)
+    edge_ptr = np.cumsum(edge_ptr)
+    sp_cell = []
+    sp_pred = []
+    for cell, preds in start_preds.items():
+        for pd in preds:
+            sp_cell.append(cell)
+            sp_pred.append(pd)
+    ps_cell = []
+    ps_old = []
+    for cell, olds in pseudo_preds.items():
+        for o in olds:
+            ps_cell.append(cell)
+            ps_old.append(int(o))
+    fs_cell = [
+        node_first[n] for n in band_sources if n in prev_set
+    ]
+    old_flags = (
+        old_end_exists.astype(np.uint8) | (in_prev_band.astype(np.uint8) << 1)
+    )
+    return native.compute_slice_rows(
+        chain, edge_ptr, tos_a, sp_cell, sp_pred, ps_cell, ps_old, fs_cell,
+        match_cell, seed_sbs, old_end, old_flags, slice_index,
     )

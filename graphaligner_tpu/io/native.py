@@ -101,6 +101,29 @@ def _register(lib):
         getattr(lib, name).restype = ctypes.POINTER(ctypes.c_uint8)
         getattr(lib, name).argtypes = [ctypes.c_void_p]
     lib.ga_gfa_destroy.argtypes = [ctypes.c_void_p]
+    lib.ga_compute_slice.restype = ctypes.c_int64
+    lib.ga_compute_slice.argtypes = [
+        ctypes.c_int64,                    # C
+        ctypes.POINTER(ctypes.c_uint8),    # chain
+        ctypes.POINTER(ctypes.c_int64),    # edge_ptr
+        ctypes.POINTER(ctypes.c_int32),    # edge_to
+        ctypes.c_int64,                    # n_sp
+        ctypes.POINTER(ctypes.c_int32),    # sp_cell
+        ctypes.POINTER(ctypes.c_int32),    # sp_pred
+        ctypes.c_int64,                    # n_ps
+        ctypes.POINTER(ctypes.c_int32),    # ps_cell
+        ctypes.POINTER(ctypes.c_int64),    # ps_old
+        ctypes.c_int64,                    # n_fs
+        ctypes.POINTER(ctypes.c_int32),    # fs_cell
+        ctypes.POINTER(ctypes.c_uint8),    # match [64*C]
+        ctypes.POINTER(ctypes.c_int64),    # seed_sbs
+        ctypes.POINTER(ctypes.c_int64),    # old_end
+        ctypes.POINTER(ctypes.c_uint8),    # old_flags
+        ctypes.c_int64,                    # slice_index
+        ctypes.POINTER(ctypes.c_int64),    # out sbs
+        ctypes.POINTER(ctypes.c_uint8),    # out sbs_exists
+        ctypes.POINTER(ctypes.c_int64),    # out rows
+    ]
     lib.ga_decode_moves.restype = ctypes.c_int64
     lib.ga_decode_moves.argtypes = [
         ctypes.POINTER(ctypes.c_uint32),
@@ -382,3 +405,49 @@ def encode_alignments(names, seqs, scores, qposs, runs_list, div2=False):
     finally:
         lib.ga_free(ptr)
     return [blob[out_off[i] : out_off[i + 1]] for i in range(n)]
+
+
+def compute_slice_rows(chain, edge_ptr, edge_to, sp_cell, sp_pred, ps_cell,
+                       ps_old, fs_cell, match, seed_sbs, old_end, old_flags,
+                       slice_index):
+    """Native banded slice DP (the giant-band host path — the analog of
+    the reference's calculateSliceAlternate sparse method). Returns
+    (sbs, sbs_exists, rows[64, C]) or None when the library is absent."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as np
+
+    C = len(seed_sbs)
+    chain = np.ascontiguousarray(chain, dtype=np.uint8)
+    edge_ptr = np.ascontiguousarray(edge_ptr, dtype=np.int64)
+    edge_to = np.ascontiguousarray(edge_to, dtype=np.int32)
+    sp_cell = np.ascontiguousarray(sp_cell, dtype=np.int32)
+    sp_pred = np.ascontiguousarray(sp_pred, dtype=np.int32)
+    ps_cell = np.ascontiguousarray(ps_cell, dtype=np.int32)
+    ps_old = np.ascontiguousarray(ps_old, dtype=np.int64)
+    fs_cell = np.ascontiguousarray(fs_cell, dtype=np.int32)
+    match = np.ascontiguousarray(match, dtype=np.uint8)
+    seed_sbs = np.ascontiguousarray(seed_sbs, dtype=np.int64)
+    old_end = np.ascontiguousarray(old_end, dtype=np.int64)
+    old_flags = np.ascontiguousarray(old_flags, dtype=np.uint8)
+    sbs = np.empty(C, dtype=np.int64)
+    sbs_exists = np.empty(C, dtype=np.uint8)
+    rows = np.empty((64, C), dtype=np.int64)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    ok = lib.ga_compute_slice(
+        C, p(chain, ctypes.c_uint8), p(edge_ptr, ctypes.c_int64),
+        p(edge_to, ctypes.c_int32), len(sp_cell), p(sp_cell, ctypes.c_int32),
+        p(sp_pred, ctypes.c_int32), len(ps_cell), p(ps_cell, ctypes.c_int32),
+        p(ps_old, ctypes.c_int64), len(fs_cell), p(fs_cell, ctypes.c_int32),
+        p(match, ctypes.c_uint8), p(seed_sbs, ctypes.c_int64),
+        p(old_end, ctypes.c_int64), p(old_flags, ctypes.c_uint8),
+        int(slice_index), p(sbs, ctypes.c_int64),
+        p(sbs_exists, ctypes.c_uint8), p(rows, ctypes.c_int64),
+    )
+    if not ok:
+        return None
+    return sbs, sbs_exists.astype(bool), rows
