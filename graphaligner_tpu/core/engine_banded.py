@@ -84,14 +84,14 @@ class BandedGraphTables:
 
 def build_graph_tables(graph: AlignmentGraph) -> BandedGraphTables:
     n = graph.node_count
-    assert n < (int(I32MAX) // PRI_RANGE) - 1, "graph too large for int32 sort keys"
 
     def pad_adj(ptr, idx):
         deg = np.diff(ptr)
         k = max(1, int(deg.max()))
         out = np.full((n, k), -1, dtype=np.int32)
-        for i in range(n):
-            out[i, : deg[i]] = idx[ptr[i] : ptr[i + 1]]
+        rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+        cols = np.arange(len(idx), dtype=np.int64) - np.repeat(ptr[:-1], deg)
+        out[rows, cols] = idx
         return out, k
 
     in_nbrs, k_in = pad_adj(graph.in_ptr, graph.in_idx)
@@ -144,6 +144,12 @@ def banded_scan(
             jax.default_backend() != "cpu" and Nm <= 32 and K_in <= 5
         )
     segmented = seg is not None
+    # the pairwise dedup compares (rank, pri) as two int32 fields (same
+    # node => same rank), so there is NO graph-size ceiling; the optional
+    # sort-based dedup packs rank*1024+pri into one int32 key and only
+    # works below ~2M digraph nodes
+    if args[5].shape[0] >= (int(I32MAX) // PRI_RANGE) - 1:
+        _proj = "pairwise"
     mesh_key = (
         (tuple(d.id for d in mesh.devices.flat), mesh_axis)
         if mesh is not None
@@ -349,10 +355,10 @@ def _banded_scan(
             all_id = jnp.concatenate(parts_id, axis=1)
             all_pri = jnp.concatenate(parts_pri, axis=1)
             all_outp = jnp.concatenate(parts_outp, axis=1)
-            rank = gather_node(topo_rank, all_id, int(I32MAX) // PRI_RANGE - 1)
-            key = jnp.where(
-                (all_id < EMPTY) & (all_pri < INF_PRI),
-                rank * PRI_RANGE + all_pri,
+            valid_e = (all_id < EMPTY) & (all_pri < INF_PRI)
+            rank = jnp.where(
+                valid_e,
+                gather_node(topo_rank, all_id, I32MAX - 1),
                 I32MAX,
             )
             if _proj.startswith("sort"):
@@ -361,6 +367,9 @@ def _banded_scan(
                 # after sorting, so the per-node minimum is the first
                 # entry of each id run and the output slot is a prefix
                 # count — O(E log^2 E) total
+                key = jnp.where(
+                    valid_e, rank * PRI_RANGE + all_pri, I32MAX
+                )
                 key_s, id_s, pri_s, outp_s = jax.lax.sort(
                     (key, all_id, all_pri, all_outp), dimension=1,
                     num_keys=1, is_stable=True,
@@ -385,16 +394,24 @@ def _banded_scan(
                 n_pri = jnp.where(got, jnp.sum(jnp.where(oh, pri_s[:, :, None], 0), axis=1), INF_PRI)
                 n_outp = jnp.where(got, jnp.sum(jnp.where(oh, outp_s[:, :, None], 0), axis=1), INF_PRI)
             else:
-                # O(E^2) pairwise rank-select dedup (round-1 scheme)
+                # O(E^2) pairwise rank-select dedup on the (rank, pri)
+                # field pair: entries of the SAME node share a rank, so
+                # the per-node minimum needs only pri comparisons, and
+                # ordering across distinct kept nodes needs only rank
+                # comparisons — no packed key, no graph-size ceiling
                 iota_e = jax.lax.iota(jnp.int32, E)
                 samemat = all_id[:, :, None] == all_id[:, None, :]
-                keymat = jnp.where(samemat, key[:, None, :], I32MAX)
-                minkey = jnp.min(keymat, axis=2)
-                first_j = jnp.argmax(keymat == minkey[:, :, None], axis=2)
-                keep = (key < I32MAX) & (first_j == iota_e[None, :])
+                primat = jnp.where(
+                    samemat & valid_e[:, None, :],
+                    all_pri[:, None, :],
+                    INF_PRI,
+                )
+                minpri = jnp.min(primat, axis=2)
+                first_j = jnp.argmax(primat == minpri[:, :, None], axis=2)
+                keep = valid_e & (first_j == iota_e[None, :])
                 over = over | (jnp.sum(keep, axis=1) > Nm)
                 pos = jnp.sum(
-                    (key[:, None, :] < key[:, :, None]) & keep[:, None, :],
+                    (rank[:, None, :] < rank[:, :, None]) & keep[:, None, :],
                     axis=2,
                 )
                 oh = (pos[:, :, None] == iota_nm[None, None, :]) & keep[

@@ -108,10 +108,15 @@ class AlignmentGraph:
         self.node_ids = np.array(self._node_ids, dtype=np.int64)
         self.reverse = np.array(self._reverse, dtype=bool)
 
-        self.seq_codes = np.empty(total_bp, dtype=np.uint8)
-        for i, s in enumerate(self._node_seqs):
-            start = self.node_start[i]
-            self.seq_codes[start : start + len(s)] = [_CHAR_TO_CODE[c] for c in s]
+        # one pass over the concatenated bytes via a 256-entry LUT
+        # (a per-node Python loop took minutes at pangenome scale)
+        joined = np.frombuffer(
+            "".join(self._node_seqs).encode("ascii"), dtype=np.uint8
+        )
+        lut = np.zeros(256, dtype=np.uint8)
+        for ch, code in _CHAR_TO_CODE.items():
+            lut[ord(ch)] = code
+        self.seq_codes = lut[joined]
 
         self.pos_to_node = np.repeat(
             np.arange(n, dtype=np.int32), lens

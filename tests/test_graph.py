@@ -103,8 +103,7 @@ def test_scc_topo_order():
 def test_scc_self_loop():
     out_ptr = np.array([0, 1, 1])
     out_idx = np.array([0])
-    _, _, cyclic, _ = condensation(out_ptr, out_idx)
-    comp_id, _ = tarjan_scc(out_ptr, out_idx)
+    comp_id, _, cyclic, _ = condensation(out_ptr, out_idx)
     assert cyclic[comp_id[0]]
     assert not cyclic[comp_id[1]]
 
