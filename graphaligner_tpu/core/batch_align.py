@@ -116,6 +116,34 @@ def _corr_flags(cc, ffc, cur):
     return obj
 
 
+
+def _pad_lead(arr, fill):
+    """Prepend one zero/fill slice along axis 0 (the walk kernel's
+    below-window neighbor entry)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    if isinstance(arr, np.ndarray):
+        pad = np.full((1,) + arr.shape[1:], fill, dtype=arr.dtype)
+        return np.concatenate([pad, arr], axis=0)
+    pad = jnp.full((1,) + arr.shape[1:], fill, dtype=arr.dtype)
+    return jnp.concatenate([pad, arr], axis=0)
+
+
+def _walk_init_state(Bp, keeps, sslot, soff, sscore):
+    """Fresh walk lane state [16, Bp] (kernel row layout: sk, row_in,
+    slot, off, here, done, fail, needs_col, 5 cache words, spares)."""
+    st = np.zeros((16, Bp), np.int32)
+    st[0] = keeps
+    st[1] = 63
+    st[2] = sslot
+    st[3] = soff
+    st[4] = sscore
+    st[5] = (keeps < 1).astype(np.int32)
+    st[7] = 1
+    return st
+
+
 class _Round:
     """One banded_scan invocation's host-side record.
 
@@ -308,6 +336,13 @@ class _LaneState:
 class BandedBatchAligner:
     """Batched seeded/banded alignment over the device engine."""
 
+    # reads past this many slices run the memory-bounded long-read mode:
+    # chained LONG_WINDOW-slice scan rounds whose packed columns are
+    # dropped after the control replay, with the backtrace recomputing
+    # one window at a time (the reference's sqrt-slice sampling +
+    # getSlicesFromTable recompute analog, GraphAligner.h:2858-2943)
+    LONG_WINDOW = 320
+
     def __init__(
         self,
         graph: AlignmentGraph,
@@ -347,6 +382,8 @@ class BandedBatchAligner:
         self.mesh = mesh
         self.mesh_axis = mesh_axis
         self.tier = _tier
+        self._long_mode = False
+        self._chunk_rounds = []
         self.max_rounds = max_rounds
         if _rev_pos is not None:
             self.rev_pos = _rev_pos
@@ -412,10 +449,28 @@ class BandedBatchAligner:
             while cap < S_max:
                 cap *= 2
             S_max = cap
+        # memory-bounded long-read mode (the reference's sqrt-slice
+        # sampling analog, GraphAligner.h:2571-2856, 2962-2967): reads
+        # past LONG_WINDOW slices run as CHAINED rounds of LONG_WINDOW
+        # slices; each round's multi-MB packed columns are dropped after
+        # its control replay (only the boundary carry + last-slice
+        # columns + the small per-slice tables survive), and the
+        # backtrace recomputes one window at a time (_walk_long)
+        true_S = max(1, max(len(seq) // WORD_SIZE for seq, _ in problems))
+        long_mode = S_max > self.LONG_WINDOW
+        rounds_cap = self.max_rounds
+        if long_mode:
+            S_max = self.LONG_WINDOW
+            rounds_cap = max(
+                self.max_rounds, -(-true_S // S_max) + 4
+            )
+        self._long_mode = long_mode
+        self._chunk_rounds = []
         lanes = [
             _LaneState(num_slices=len(seq) // WORD_SIZE) for seq, _ in problems
         ]
-        codes = np.full((n, S_max * WORD_SIZE), _READ_CODE["N"], dtype=np.uint8)
+        cw = max(S_max, true_S)
+        codes = np.full((n, cw * WORD_SIZE), _READ_CODE["N"], dtype=np.uint8)
         seq_lens = np.zeros(n, dtype=np.int32)
         for i, (seq, _) in enumerate(problems):
             codes[i, : len(seq)] = encode_read(seq)
@@ -424,23 +479,37 @@ class BandedBatchAligner:
             (i, 0, "init", 0) for i in range(n)
         ]  # (problem, start_slice, carry_ref, ramp_until)
         pend = self._dispatch_round(problems, codes, seq_lens, requests, S_max)
-        return (problems, codes, seq_lens, lanes, S_max, requests, pend)
+        return (problems, codes, seq_lens, lanes, S_max, requests, pend,
+                rounds_cap)
 
     def _finish_run(self, token):
         """Complete all device rounds + control replay for a chunk started
         by _start_run; returns the final per-problem _LaneState list."""
-        problems, codes, seq_lens, lanes, S_max, requests, pend = token
+        (problems, codes, seq_lens, lanes, S_max, requests, pend,
+         rounds_cap) = token
         self._codes = codes
         self._seq_lens = seq_lens
-        for round_no in range(self.max_rounds):
+        for round_no in range(rounds_cap):
             if not requests:
                 break
             if pend is None:
                 pend = self._dispatch_round(
                     problems, codes, seq_lens, requests, S_max
                 )
+                if self._long_mode and len(self._chunk_rounds) >= 1:
+                    # the dispatch above consumed any carries from the
+                    # previous round; its packed columns can go now, and
+                    # the round before THAT no longer feeds rewinds
+                    self._chunk_rounds[-1].cols_dev = None
+                    if len(self._chunk_rounds) >= 2:
+                        self._chunk_rounds[-2].sends_dev = None
+                        self._chunk_rounds[-2].node_min_dev = None
+                        self._chunk_rounds[-2].node_end_dev = None
             rnd = self._finish_round(pend)
             pend = None
+            if self._long_mode:
+                self._stash_round_boundary(rnd)
+                self._chunk_rounds.append(rnd)
             for pos, (i, start, _, _) in enumerate(requests):
                 lane = lanes[i]
                 l, s0, n = rnd.req_meta[pos]
@@ -457,6 +526,15 @@ class BandedBatchAligner:
                     continue
                 req = self._replay(lane)
                 if req is not None:
+                    if (
+                        self._long_mode
+                        and req[1] != "init"
+                        and req[1].rnd.sends_dev is None
+                    ):
+                        # rewind carry into a round whose seeds were
+                        # dropped (long mode keeps only the last round's)
+                        lane.failed = True
+                        continue
                     requests.append((i, req[0], req[1], req[2]))
         for i, lane in enumerate(lanes):
             if not lane.done:
@@ -645,6 +723,15 @@ class BandedBatchAligner:
         ]
         if not walk_idx:
             return ("done", results)
+        if self._long_mode:
+            # memory-bounded long-read walk: recompute + walk one window
+            # (round) at a time, newest first, carrying lane state across
+            # windows (runs synchronously at dispatch)
+            self._walk_long(
+                problems, lanes, keeps, walk_idx, list(self._chunk_rounds),
+                results,
+            )
+            return ("done", results)
         final_sends, final_band = self._gather_final_sends(lanes, keeps)
         try:
             starts = self._walk_starts(
@@ -780,19 +867,23 @@ class BandedBatchAligner:
             sw[i] = w0
             sscore[i] = lanes[i].accepted[int(keeps[i]) - 1].min_score
         seed_nodes = np.array([p[1] for p in problems], dtype=np.int32)
-        moves_dev, fail_dev = wm.walk_moves(
-            cols_tab,
-            band_tab,
-            lens_tab,
-            pred_tab,
-            codes8,
+        init_state = _walk_init_state(
+            Bp, row1(keeps)[0], row1(sslot)[0], row1(soff)[0],
+            row1(sscore)[0],
+        )
+        # whole-table walk = one window with base 0; tables grow a
+        # leading pad slice (the below-window neighbor, unread at q==1)
+        moves_dev, fail_dev, _state = wm.walk_moves(
+            _pad_lead(cols_tab, 0),
+            _pad_lead(band_tab, int(EMPTY)),
+            _pad_lead(lens_tab, 0),
+            _pad_lead(pred_tab, 0),
+            _pad_lead(codes8, 0),
             bits_lut,
             row1(self._seq_lens),
             row1(seed_nodes),
-            row1(sslot),
-            row1(soff),
-            row1(sscore),
-            row1(keeps),
+            np.zeros((1, Bp), np.int32),
+            init_state,
             K_in=self.tables.k_in,
         )
         for arr in (moves_dev, fail_dev):
@@ -1043,6 +1134,296 @@ class BandedBatchAligner:
         )
         return cols_tab, band_tab
 
+
+    # ------------------------------------------------------- long-read walk
+    def _walk_long(self, problems, lanes, keeps, walk_idx, chunk_rounds,
+                   results):
+        """Windowed backtrace for long-mode chunks: for each scan round
+        (newest to oldest) the dropped columns are recomputed
+        (_redispatch_round), lanes whose table ends in that window are
+        started there, and the move-walk kernel runs with lane-state
+        continuation across windows. The concatenated move streams decode
+        exactly like the single-window walk."""
+        import jax.numpy as jnp
+
+        from ..io import native
+        from ..ops.pallas import walk_moves as wm
+        from .backtrace_device import _BT_MATCH
+
+        B = len(lanes)
+        Bp = max(128, -(-B // 128) * 128)
+        INT_MAX = 2**62
+
+        # per-lane straight segment chains [rnd, step0, n, g0, lane_in_round]
+        lane_segs: dict = {}
+        for i in list(walk_idx):
+            recs = lanes[i].accepted[: int(keeps[i])]
+            segs: list = []
+            ok = True
+            for rec in recs:
+                if (
+                    segs
+                    and segs[-1][0] is rec.rnd
+                    and rec.step == segs[-1][1] + segs[-1][2]
+                    and rec.slice_i == segs[-1][3] + segs[-1][2]
+                ):
+                    segs[-1][2] += 1
+                elif not segs or segs[-1][0] is not rec.rnd:
+                    segs.append(
+                        [rec.rnd, rec.step, 1, rec.slice_i, rec.lane_in_round]
+                    )
+                else:
+                    ok = False
+                    break
+            if ok:
+                g = 0
+                for s_ in segs:
+                    if s_[3] != g:
+                        ok = False
+                        break
+                    g += s_[2]
+            if not ok or not segs:
+                # rewound chains (rare) lose their dropped columns; the
+                # capacity-retry tier / host oracle picks the lane up
+                lanes[i].failed = True
+                continue
+            lane_segs[i] = segs
+        live = [i for i in walk_idx if i in lane_segs]
+        if not live:
+            return
+        rounds = [
+            r
+            for r in chunk_rounds
+            if any(any(s_[0] is r for s_ in lane_segs[i]) for i in live)
+        ]
+
+        bits_lut = np.zeros(_BT_MATCH.shape[0], dtype=np.int32)
+        for g in range(5):
+            bits_lut |= _BT_MATCH[:, g].astype(np.int32) << g
+        seq_row = np.zeros((1, Bp), np.int32)
+        seq_row[0, :B] = self._seq_lens
+        seed_row = np.zeros((1, Bp), np.int32)
+        seed_row[0, :B] = np.array([p[1] for p in problems], np.int32)
+        state = np.zeros((16, Bp), np.int32)
+        state[5] = 1  # idle until the lane's final window initializes it
+        sw = np.zeros(B, dtype=np.int64)
+        move_parts: list = []
+        S_g = self._codes.shape[1] // WORD_SIZE
+        codes_all = self._codes.reshape(B, S_g, WORD_SIZE)
+
+        for rnd in reversed(rounds):
+            segs_here = {
+                i: s_
+                for i in live
+                for s_ in lane_segs[i]
+                if s_[0] is rnd and not lanes[i].failed
+            }
+            if not segs_here:
+                continue
+            out = self._redispatch_round(rnd)
+            K_w = max(s_[2] for s_ in segs_here.values())
+            steps_map = np.zeros((K_w, B), np.int32)
+            valid_map = np.zeros((K_w, B), bool)
+            base = np.full(B, -(10**6), np.int32)
+            lr = np.zeros(B, np.int32)
+            for i, s_ in segs_here.items():
+                _, step0, n, g0, lane_r = s_
+                base[i] = g0
+                lr[i] = lane_r
+                steps_map[:n, i] = step0 + np.arange(n, dtype=np.int32)
+                valid_map[:n, i] = True
+            lr_d = jnp.asarray(lr)
+            steps_d = jnp.asarray(steps_map)
+            vm2 = jnp.asarray(valid_map)[:, None, :]
+
+            def g3(dev, fill):
+                src = dev[:, :, lr_d]  # [S, Nm, B]
+                g = jnp.take_along_axis(src, steps_d[:, None, :], axis=0)
+                return jnp.where(vm2, g, fill)
+
+            band_w = g3(rnd.band_ids_dev, int(EMPTY))
+            lens_w = g3(rnd.lens_tab_dev, 0)
+            pred_w = g3(rnd.pred_tab_dev, 0)
+            cols_src = out["cols"][:, :, :, lr_d]  # [S, 7, Cm, B]
+            cols_w = jnp.take_along_axis(
+                cols_src, steps_d[:, None, None, :], axis=0
+            )
+            cols_w = jnp.where(jnp.asarray(valid_map)[:, None, None, :], cols_w, 0)
+
+            # entry 0 (below-window neighbor): the previous segment's last
+            # slice, from that round's stashed boundary columns
+            prev0_cols = jnp.zeros((cols_w.shape[1], cols_w.shape[2], B), cols_w.dtype)
+            prev0_band = jnp.full((band_w.shape[1], B), int(EMPTY), band_w.dtype)
+            prev0_lens = jnp.zeros((band_w.shape[1], B), band_w.dtype)
+            prev0_pred = jnp.zeros((band_w.shape[1], B), band_w.dtype)
+            by_prev: dict = {}
+            for i, s_ in segs_here.items():
+                segs = lane_segs[i]
+                k = segs.index(s_)
+                if k > 0:
+                    p_ = segs[k - 1]
+                    by_prev.setdefault(id(p_[0]), (p_[0], []))[1].append((i, p_))
+            for prnd, pairs in by_prev.values():
+                idxs = np.array([i for i, _ in pairs], np.int32)
+                plast = np.array(
+                    [p_[1] + p_[2] - 1 for _, p_ in pairs], np.int32
+                )
+                plane = np.array([p_[4] for _, p_ in pairs], np.int32)
+                # boundary cols: locate each lane's request in the stash
+                reqpos = []
+                for _, p_ in pairs:
+                    hits = np.nonzero(
+                        (prnd.last_lanes == p_[4])
+                        & (prnd.last_steps == p_[1] + p_[2] - 1)
+                    )[0]
+                    reqpos.append(int(hits[0]))
+                reqpos = np.array(reqpos, np.int32)
+                pc = prnd.cols_last_dev[jnp.asarray(reqpos)]  # [n, 7, Cm]
+                prev0_cols = prev0_cols.at[:, :, jnp.asarray(idxs)].set(
+                    jnp.transpose(pc, (1, 2, 0))
+                )
+                pl_d = jnp.asarray(plast)
+                pn_d = jnp.asarray(plane)
+                prev0_band = prev0_band.at[:, jnp.asarray(idxs)].set(
+                    jnp.transpose(prnd.band_ids_dev[pl_d, :, pn_d], (1, 0))
+                )
+                prev0_lens = prev0_lens.at[:, jnp.asarray(idxs)].set(
+                    jnp.transpose(prnd.lens_tab_dev[pl_d, :, pn_d], (1, 0))
+                )
+                prev0_pred = prev0_pred.at[:, jnp.asarray(idxs)].set(
+                    jnp.transpose(prnd.pred_tab_dev[pl_d, :, pn_d], (1, 0))
+                )
+            cols_w = jnp.concatenate([prev0_cols[None], cols_w], axis=0)
+            band_w = jnp.concatenate([prev0_band[None], band_w], axis=0)
+            lens_w = jnp.concatenate([prev0_lens[None], lens_w], axis=0)
+            pred_w = jnp.concatenate([prev0_pred[None], pred_w], axis=0)
+
+            # lanes whose table ENDS in this window start walking here
+            starters = [
+                i
+                for i, s_ in segs_here.items()
+                if s_[3] + s_[2] == int(keeps[i])
+            ]
+            if starters:
+                fin_step = np.array(
+                    [segs_here[i][1] + segs_here[i][2] - 1 for i in starters],
+                    np.int32,
+                )
+                fin_lane = np.array([segs_here[i][4] for i in starters], np.int32)
+                fs = np.asarray(
+                    out["sends"][jnp.asarray(fin_step), :, jnp.asarray(fin_lane)]
+                )
+                fb = np.asarray(
+                    rnd.band_ids_dev[jnp.asarray(fin_step), :, jnp.asarray(fin_lane)]
+                )
+                final_sends = np.zeros((B, self.Cm), np.int32)
+                final_band = np.full((B, self.Nm), int(EMPTY), np.int32)
+                final_sends[starters] = fs
+                final_band[starters] = fb
+                try:
+                    starts = self._walk_starts(
+                        problems, lanes, keeps, starters, final_sends,
+                        final_band,
+                    )
+                except AssertionError:
+                    for i in starters:
+                        lanes[i].failed = True
+                    starts = []
+                    starters = []
+                for i, (w0, slot0, off0) in zip(starters, starts):
+                    sw[i] = w0
+                    state[0, i] = int(keeps[i])
+                    state[1, i] = 63
+                    state[2, i] = slot0
+                    state[3, i] = off0
+                    state[4, i] = lanes[i].accepted[int(keeps[i]) - 1].min_score
+                    state[5, i] = 0
+                    state[6, i] = 0
+                    state[7, i] = 1
+                    state[8:16, i] = 0
+
+            # pad lanes to Bp and run the window
+            def padB(a, fill):
+                if a.shape[-1] == Bp:
+                    return a
+                pw = [(0, 0)] * (a.ndim - 1) + [(0, Bp - a.shape[-1])]
+                return jnp.pad(a, pw, constant_values=fill)
+
+            base_row = np.full((1, Bp), -(10**6), np.int32)
+            base_row[0, :B] = base
+            codes_rows = np.clip(
+                base[:, None] + np.arange(K_w + 1, dtype=np.int32)[None, :] - 1,
+                0,
+                S_g - 1,
+            )
+            codes8_w = np.ascontiguousarray(
+                codes_all[np.arange(B)[:, None], codes_rows].transpose(1, 2, 0)
+            )
+            if Bp != B:
+                codes8_w = np.pad(codes8_w, ((0, 0), (0, 0), (0, Bp - B)))
+            moves_dev, fail_dev, state_dev = wm.walk_moves(
+                padB(cols_w, 0),
+                padB(band_w, int(EMPTY)),
+                padB(lens_w, 0),
+                padB(pred_w, 0),
+                codes8_w,
+                bits_lut,
+                seq_row,
+                seed_row,
+                base_row,
+                state,
+                K_in=self.tables.k_in,
+            )
+            state = np.asarray(state_dev).copy()
+            fail = np.asarray(fail_dev)[0]
+            for i in list(segs_here):
+                if fail[i]:
+                    lanes[i].failed = True
+                    state[5, i] = 1
+            move_parts.append(
+                np.ascontiguousarray(np.asarray(moves_dev)).view(np.uint32)
+            )
+
+        moves = np.concatenate(move_parts, axis=0)
+        t = self.tables
+        node_start64 = np.ascontiguousarray(self.graph.node_start, dtype=np.int64)
+        node_end64 = np.ascontiguousarray(self.graph.node_end, dtype=np.int64)
+        pos2node = np.ascontiguousarray(t.pos_to_node)
+        in_nbrs = np.ascontiguousarray(t.in_nbrs)
+        final_live = [
+            i for i in live if not lanes[i].failed and state[5, i] == 1
+        ]
+        for i in live:
+            if not lanes[i].failed and state[5, i] != 1:
+                lanes[i].failed = True  # never finished across all windows
+
+        def decode_one(i):
+            try:
+                return native.decode_moves(
+                    np.ascontiguousarray(moves[:, i]),
+                    int(sw[i]),
+                    int(keeps[i]) * WORD_SIZE - 1,
+                    node_start64,
+                    node_end64,
+                    pos2node,
+                    in_nbrs,
+                    int(keeps[i]) * WORD_SIZE * 3 + 64,
+                )
+            except ValueError:
+                return False
+
+        decoded = list(_decode_pool().map(decode_one, final_live))
+        for i, arr in zip(final_live, decoded):
+            lane = lanes[i]
+            if arr is False or arr is None or len(arr) < 1 or arr[0, 1] != 0:
+                lane.failed = True
+                continue
+            score = lane.accepted[int(keeps[i]) - 1].min_score
+            cells = sum(
+                r.num_cells for r in lane.accepted[: int(keeps[i])]
+            ) * WORD_SIZE
+            results[i] = (score, arr, int(keeps[i]), cells)
+
     # ------------------------------------------------------------- device round
     @staticmethod
     def _ffd_pack(sizes, cap, opens):
@@ -1080,8 +1461,11 @@ class BandedBatchAligner:
         per lane, back to back — segment starts reset the carry in-scan)
         and dispatch one banded_scan round."""
         nreq = len(requests)
+        # long mode: a request covers at most one window of slices; the
+        # replay walks off the chain's end and re-requests the remainder
+        # with a carry (the same mechanism rewinds use)
         sizes = [
-            max(0, (len(problems[i][0]) // WORD_SIZE) - st)
+            min(S_max, max(0, (len(problems[i][0]) // WORD_SIZE) - st))
             for (i, st, _, _) in requests
         ]
         opens = [carry != "init" for (_, _, carry, _) in requests]
@@ -1201,11 +1585,16 @@ class BandedBatchAligner:
                     arr.copy_to_host_async()
                 except Exception:
                     pass
-        return (out, requests, req_meta, seg_start_mask, bw)
+        scan_inputs = (
+            codes_lane, bw, init_ids, init_send, init_nmin, init_nend,
+            init_min, (seg_active, seg_first, seg_slen, seg_rnode, seg_rlen),
+            S_max,
+        )
+        return (out, requests, req_meta, seg_start_mask, bw, scan_inputs)
 
     def _finish_round(self, pend) -> _Round:
         """Block on a dispatched round's control triple and wrap it."""
-        out, requests, req_meta, seg_start_mask, bw = pend
+        out, requests, req_meta, seg_start_mask, bw, scan_inputs = pend
         rnd = _Round(
             lanes=[r[0] for r in requests],
             start_slice=np.array([r[1] for r in requests], dtype=np.int32),
@@ -1226,7 +1615,53 @@ class BandedBatchAligner:
         rnd.req_meta = req_meta
         rnd.req_start = rnd.start_slice
         rnd._seg_start = seg_start_mask
+        rnd._scan_inputs = scan_inputs if self._long_mode else None
         return rnd
+
+    def _redispatch_round(self, rnd):
+        """Re-run a long-mode round from its stashed inputs: banded_scan
+        is deterministic, so the recomputed columns equal the dropped
+        ones bit for bit (the reference's getSlicesFromTable recompute,
+        GraphAligner.h:2858-2943)."""
+        (codes_lane, bw, init_ids, init_send, init_nmin, init_nend,
+         init_min, seg, S_max) = rnd._scan_inputs
+        zeros_b = np.zeros(codes_lane.shape[0], dtype=np.int32)
+        return banded_scan(
+            *self._device_args(),
+            codes_lane,
+            zeros_b,
+            zeros_b,
+            zeros_b,
+            bw,
+            init_ids,
+            init_send,
+            init_nmin,
+            init_nend,
+            init_min,
+            S_max=S_max,
+            Nm=self.Nm,
+            Cm=self.Cm,
+            _proj="pairwise",
+            seg=seg,
+            mesh=self.mesh,
+            mesh_axis=self.mesh_axis,
+        )
+
+    def _stash_round_boundary(self, rnd):
+        """Before a long-mode round's columns are dropped: keep each
+        request's LAST computed slice columns (the below-window neighbor
+        the next window's walk needs) as a small [nreq, 7, Cm] gather."""
+        import jax.numpy as jnp
+
+        steps = np.array(
+            [s0 + n - 1 for (_, s0, n) in rnd.req_meta], dtype=np.int32
+        )
+        lanes_ = np.array([l for (l, _, _) in rnd.req_meta], dtype=np.int32)
+        rnd.cols_last_dev = rnd.cols_dev[
+            jnp.asarray(steps), :, :, jnp.asarray(lanes_)
+        ]
+        rnd.last_steps = steps
+        rnd.last_lanes = lanes_
 
     def _replay_bulk(self, lanes, requests, rnd):
         """Vectorized fast path of the getSqrtSlices replay for round-1

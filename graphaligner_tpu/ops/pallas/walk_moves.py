@@ -62,32 +62,38 @@ def walk_moves(*args, K_in, W_cap=448, Bb=128):
 
 
 def walk_moves_kernel(
-    cols_tab,  # [K, 7, Cm, B] int32 packed columns (slice k -> row k-1)
-    band_tab,  # [K, Nm, B] int32 band node ids (EMPTY pad)
-    lens_tab,  # [K, Nm, B] int32 per-slot node lengths
-    pred_tab,  # [K, Nm, B] int32 packed preds (slot|valid<<5)<<6k
-    codes8,  # [K, 64, B] uint8 read codes (match masks expand on device)
+    cols_tab,  # [K+1, 7, Cm, B] int32 packed columns; entry 0 = the slice
+    #            BELOW the window (cols_prev of the first walked slice;
+    #            zero pad when the window starts at the table bottom)
+    band_tab,  # [K+1, Nm, B] int32 band node ids (EMPTY pad)
+    lens_tab,  # [K+1, Nm, B] int32 per-slot node lengths
+    pred_tab,  # [K+1, Nm, B] int32 packed preds (slot|valid<<5)<<6k
+    codes8,  # [K+1, 64, B] uint8 read codes (match masks expand on device)
     bits_lut,  # [R] int32 read-code -> 5-bit match mask lut
     seq_len,  # [1, B] int32 (getValueOrMax default)
     seed_node,  # [1, B] int32 (synthetic slice-0 band)
-    start_slot,  # [1, B] int32 backtrace start cell slot (in slice K_lane)
-    start_off,  # [1, B] int32 backtrace start cell in-node offset
-    start_score,  # [1, B] int32 final slice min score
-    keeps,  # [1, B] int32 per-lane table slice count K_lane (0 = skip)
+    win_base,  # [1, B] int32 window base a: this call walks GLOBAL table
+    #            slices (a, a+K]; lane state sk counts global slices
+    init_state,  # [16, B] int32 lane state (see _init; host builds the
+    #              first window's state from the walk starts, later
+    #              windows pass the previous window's state_out through)
     *,
     K_in: int,
     W_cap: int = 448,
     Bb: int = 256,
 ):
-    """Returns (moves [T_w, B] int32, fail [1, B] int32) where T_w =
-    ceil((K*96+256)/8); nibble t of the flattened stream is lockstep
-    step t's move."""
+    """Returns (moves [T_w, B], fail [1, B], state_out [16, B]) where
+    T_w = ceil((K*112+512)/8); nibble t of the flattened stream is
+    lockstep step t's move. Long reads walk window by window (state_out
+    of window w feeds init_state of window w-1); a single window with
+    win_base 0 and a zero leading pad slice is the whole-table walk."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    K, _, Cm, B = cols_tab.shape
+    K1, _, Cm, B = cols_tab.shape
+    K = K1 - 1  # walked slices (entry 0 is the below-window neighbor)
     Nm = band_tab.shape[1]
     assert B % Bb == 0 and K_in <= 4
     T_total = K * 112 + 512
@@ -105,18 +111,18 @@ def walk_moves_kernel(
         mtab_cur,
         sl_ref,
         seed_ref,
-        sslot_ref,
-        soff_ref,
-        sscore_ref,
-        keeps_ref,
+        base_ref,
+        init_ref,
         moves_ref,
         fail_ref,
+        stout_ref,
         st_ref,  # scratch [16, Bb] int32 lane state
         word_ref,  # scratch [1, Bb] int32 move-pack word
         ctr_ref,  # scratch SMEM [1] int32 lockstep step counter
     ):
         s = pl.program_id(1)
-        q = K - s  # table slice processed this grid step
+        base_v = base_ref[0, :]  # [Bb] window base (same value per lane)
+        q = base_v + (K - s)  # GLOBAL table slice processed this grid step
         iota_nm = jax.lax.broadcasted_iota(jnp.int32, (Nm, Bb), 0)
         iota_cm = jax.lax.broadcasted_iota(jnp.int32, (Cm, Bb), 0)
         iota_64 = jax.lax.broadcasted_iota(jnp.int32, (64, Bb), 0)
@@ -124,17 +130,10 @@ def walk_moves_kernel(
 
         @pl.when(s == 0)
         def _init():
-            st_ref[0, :] = keeps_ref[0, :]  # sk
-            st_ref[1, :] = jnp.full(Bb, 63, jnp.int32)  # row_in
-            st_ref[2, :] = sslot_ref[0, :]  # slot
-            st_ref[3, :] = soff_ref[0, :]  # off
-            st_ref[4, :] = sscore_ref[0, :]  # here
-            st_ref[5, :] = (keeps_ref[0, :] < 1).astype(jnp.int32)  # done
-            st_ref[6, :] = jnp.zeros(Bb, jnp.int32)  # fail
-            st_ref[7, :] = jnp.ones(Bb, jnp.int32)  # needs_col
-            for f in range(5):
-                st_ref[8 + f, :] = jnp.zeros(Bb, jnp.int32)  # col cache
-            st_ref[15, :] = jnp.zeros(Bb, jnp.int32)
+            # lane state rows: 0 sk (global table slice the lane is in),
+            # 1 row_in, 2 slot, 3 off, 4 here, 5 done, 6 fail,
+            # 7 needs_col, 8-12 col cache, 13-15 spare
+            st_ref[:] = init_ref[:]
             word_ref[0, :] = jnp.zeros(Bb, jnp.int32)
             ctr_ref[0] = 0
             moves_ref[:] = jnp.zeros((T_w, Bb), jnp.int32)
@@ -442,29 +441,38 @@ def walk_moves_kernel(
             t = ctr_ref[0]
             widx = jnp.minimum(t // 8, T_w - 1)
             moves_ref[widx, :] = word_ref[0, :]
-            # lanes not done (or that overran the move budget) fail
+            # a lane still INSIDE this window (sk > base) that is not
+            # done got stuck -> fail; lanes with sk <= base continue in
+            # the next (earlier) window via state_out
             fail_ref[0, :] = (
-                (st_ref[6, :] == 1) | (st_ref[5, :] == 0)
+                (st_ref[6, :] == 1)
+                | ((st_ref[5, :] == 0) & (st_ref[0, :] > base_v))
             ).astype(jnp.int32)
+            stout_ref[:] = st_ref[:]
 
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # arrays carry K+1 slices (entry 0 = below-window neighbor), so the
+    # "previous" block index never clamps
     def im_cur(b, s):
-        return (K - 1 - s, 0, 0, b)
+        return (K - s, 0, 0, b)
 
     def im_prev(b, s):
-        return (jnp.maximum(K - 2 - s, 0), 0, 0, b)
+        return (K - s - 1, 0, 0, b)
 
     def im_cur3(b, s):
-        return (K - 1 - s, 0, b)
+        return (K - s, 0, b)
 
     def im_prev3(b, s):
-        return (jnp.maximum(K - 2 - s, 0), 0, b)
+        return (K - s - 1, 0, b)
 
     def im_b(b, s):
+        return (0, b)
+
+    def im_st(b, s):
         return (0, b)
 
     # expand read codes to per-row match masks ON DEVICE: shipping the
@@ -489,9 +497,10 @@ def walk_moves_kernel(
         axis=1,
     )
 
-    moves, fail = pl.pallas_call(
+    moves, fail, state_out = pl.pallas_call(
         kernel,
         grid=(nb, K),
+        interpret=(jax.default_backend() == "cpu"),
         in_specs=[
             pl.BlockSpec((1, 6, Cm, Bb), im_cur, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 6, Cm, Bb), im_prev, memory_space=pltpu.VMEM),
@@ -504,17 +513,17 @@ def walk_moves_kernel(
             pl.BlockSpec((1, Bb), im_b, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Bb), im_b, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Bb), im_b, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bb), im_b, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bb), im_b, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bb), im_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, Bb), im_st, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((T_w, Bb), lambda b, s: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Bb), lambda b, s: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, Bb), lambda b, s: (0, b), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T_w, B), jnp.int32),
             jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((16, B), jnp.int32),
         ],
         # both grid dims execute sequentially and the lane-state scratch
         # must persist across the slice dimension
@@ -537,9 +546,7 @@ def walk_moves_kernel(
         mtab,
         seq_len,
         seed_node,
-        start_slot,
-        start_off,
-        start_score,
-        keeps,
+        win_base,
+        init_state,
     )
-    return moves, fail
+    return moves, fail, state_out

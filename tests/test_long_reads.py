@@ -1,0 +1,69 @@
+"""Memory-bounded long-read mode (VERDICT r1 item 6): chained scan
+windows with dropped columns + the windowed recompute walk must produce
+byte-identical results to the single-window path. CPU variant forces a
+tiny window so every piece (chaining, boundary stash, state-continued
+walk kernel in interpreter mode, stream concat decode) runs in CI."""
+
+import os
+
+import numpy as np
+import pytest
+
+from graphaligner_tpu.core.batch_align import (
+    BandedBatchAligner,
+    align_reads_seeded_batch,
+)
+from graphaligner_tpu.graph import load_alignment_graph
+from graphaligner_tpu.io import load_fastq
+from graphaligner_tpu.runtime.aligner import load_seed_hits
+
+from pathlib import Path
+
+LS = str(Path(__file__).parent / "fixtures" / "longsim")
+
+
+def test_windowed_long_mode_matches_normal_cpu():
+    graph = load_alignment_graph(f"{LS}/graph.vg")
+    reads = load_fastq(f"{LS}/reads.fastq")[:6]
+    seeds = load_seed_hits(f"{LS}/seeds.gam", [r.seq_id for r in reads])
+
+    normal = BandedBatchAligner(graph, 35, 0)
+    res_n = align_reads_seeded_batch(graph, normal, reads, seeds)
+
+    long_al = BandedBatchAligner(graph, 35, 0)
+    long_al.LONG_WINDOW = 48  # force windowing on these ~157-slice reads
+    res_l = align_reads_seeded_batch(graph, long_al, reads, seeds)
+
+    for r in reads:
+        a, b = res_n[r.seq_id], res_l[r.seq_id]
+        assert a.alignment_failed == b.alignment_failed, r.seq_id
+        if a.alignment_failed:
+            continue
+        assert a.alignment.encode() == b.alignment.encode(), r.seq_id
+
+
+@pytest.mark.skipif(
+    "cpu" in os.environ.get("JAX_PLATFORMS", "cpu"),
+    reason="TPU-only: 100kb scans are minutes-slow on the CPU backend",
+)
+def test_100kb_reads_match_reference(tmp_path):
+    """100kb reads (1560+ slices, windowed long mode on by default) vs
+    the reference binary's alignments on a 480kb synthetic variation
+    graph (tests/make_fixture_100k.py). Verified bit-identical on TPU
+    v5e 2026-08-17; re-run manually outside the CPU conftest."""
+    from graphaligner_tpu.core.params import AlignerParams
+    from graphaligner_tpu.io import stream, vg
+    from graphaligner_tpu.runtime.aligner import align_reads
+
+    H = f"{LS}/huge"
+    params = AlignerParams(
+        graph_file=f"{H}/graph.vg",
+        fastq_file=f"{H}/reads.fastq",
+        alignment_file=str(tmp_path / "out.gam"),
+        seed_file=f"{H}/seeds.gam",
+        initial_bandwidth=35,
+    )
+    align_reads(params, log=lambda m: None, output_dir=str(tmp_path), backend="jax")
+    golden = stream.read_messages(f"{H}/golden.gam", vg.Alignment)
+    mine = stream.read_messages(str(tmp_path / "out.gam"), vg.Alignment)
+    assert [repr(a) for a in golden] == [repr(b) for b in mine]
