@@ -79,14 +79,15 @@ class DeviceSchedule:
     node_slot: np.ndarray  # [P] node index
     pos_to_step: np.ndarray  # [graph bp] inverse of cell_pos
     num_nodes: int
+    cyclic: bool = False
 
 
 def build_schedule(graph: AlignmentGraph) -> DeviceSchedule:
-    if bool(graph.comp_cyclic.any()):
-        raise ValueError(
-            "v1 device engine requires an acyclic SCC condensation; "
-            "use the oracle backend for cyclic graphs"
-        )
+    """Column schedule in SCC-condensation topological order. For
+    cyclic graphs the order within a cyclic component is arbitrary;
+    `_align_batch_device` then iterates whole-slice passes to the
+    Bellman-Ford fixpoint (the reference's UniqueQueue recalculation
+    loop for cyclic components, GraphAligner.h calculateSlice)."""
     order = [int(n) for n in graph.topo_node_order]
     cell_pos = []
     code = []
@@ -120,6 +121,7 @@ def build_schedule(graph: AlignmentGraph) -> DeviceSchedule:
         node_slot=np.array(node_slot, dtype=np.int32),
         pos_to_step=pos_to_step,
         num_nodes=graph.node_count,
+        cyclic=bool(graph.comp_cyclic.any()),
     )
 
 
@@ -140,7 +142,8 @@ def _cummin_rows(x, ar_like):
 
 
 @functools.partial(
-    __import__("jax").jit, static_argnames=("num_slices", "num_nodes")
+    __import__("jax").jit,
+    static_argnames=("num_slices", "num_nodes", "cyclic", "max_passes"),
 )
 def _align_batch_device(
     read_codes,  # [B, num_slices*64] uint8
@@ -151,6 +154,8 @@ def _align_batch_device(
     sched_node_slot,  # [P]
     num_slices: int,
     num_nodes: int,
+    cyclic: bool = False,
+    max_passes: int = 128,
 ):
     """Layout note: score columns are [64 rows, batch] so the batch rides
     the 128-wide lane dimension and the 64 rows the sublanes."""
@@ -165,7 +170,7 @@ def _align_batch_device(
     ar64 = jnp.arange(WORD_SIZE, dtype=jnp.int32)[:, None]  # [64,1]
     match_table = jnp.asarray(_MATCH_TABLE)
 
-    def slice_step(old_end, s):
+    def slice_step_inner(old_end, nc, s):
         # old_end: [P, B] previous slice last-row scores (schedule order)
         rows_codes = jax.lax.dynamic_slice(
             read_codes, (0, s * WORD_SIZE), (B, WORD_SIZE)
@@ -236,14 +241,6 @@ def _align_batch_device(
                 out,
             )
 
-        init = (
-            jnp.full((WORD_SIZE, B), INF, dtype=jnp.int32),
-            jnp.full((B,), INF, dtype=jnp.int32),
-            jnp.zeros((B,), dtype=bool),
-            jnp.full((num_nodes, WORD_SIZE, B), INF, dtype=jnp.int32),
-            jnp.full((num_nodes, B), INF, dtype=jnp.int32),
-            jnp.zeros((num_nodes, B), dtype=bool),
-        )
         xs = (
             sched_code,
             sched_is_start,
@@ -252,16 +249,66 @@ def _align_batch_device(
             sched_node_slot,
             old_end,  # [P, B]
         )
-        _, outs = jax.lax.scan(column_step, init, xs, unroll=8)
+
+        def run_pass(stores):
+            init = (
+                jnp.full((WORD_SIZE, B), INF, dtype=jnp.int32),
+                jnp.full((B,), INF, dtype=jnp.int32),
+                jnp.zeros((B,), dtype=bool),
+            ) + stores
+            final, outs = jax.lax.scan(column_step, init, xs, unroll=8)
+            return final[3:], outs
+
+        stores0 = (
+            jnp.full((num_nodes, WORD_SIZE, B), INF, dtype=jnp.int32),
+            jnp.full((num_nodes, B), INF, dtype=jnp.int32),
+            jnp.zeros((num_nodes, B), dtype=bool),
+        )
+        stores, outs = run_pass(stores0)
+        nonconv = jnp.bool_(False)
+        if cyclic:
+            # Bellman-Ford fixpoint over whole-slice passes: back-edge
+            # predecessors read the PREVIOUS pass's stored columns (INF
+            # on pass 1), and passes repeat until nothing changes — the
+            # reference's cyclic-component recalculation loop
+            # (GraphAligner.h calculateSlice / UniqueQueue). advance()
+            # is monotone in its inputs, so scores only decrease and the
+            # limit is the unique least fixpoint regardless of order.
+            def fix_cond(st):
+                return st[2] & (st[3] < max_passes)
+
+            def fix_body(st):
+                stores_i, outs_i, _, it = st
+                stores_n, outs_n = run_pass(stores_i)
+                changed = jnp.any(
+                    jnp.stack(
+                        [jnp.any(a != b) for a, b in zip(outs_n, outs_i)]
+                    )
+                )
+                return (stores_n, outs_n, changed, it + 1)
+
+            stores, outs, still_changing, _ = jax.lax.while_loop(
+                fix_cond, fix_body, (stores, outs, jnp.bool_(True), jnp.int32(1))
+            )
+            nonconv = still_changing  # hit the pass cap while improving
+
         vp_lo, vp_hi, vn_lo, vn_hi, sbs, score_end = outs  # each [P, B]
-        return score_end, (vp_lo, vp_hi, vn_lo, vn_hi, sbs, score_end)
+        return (score_end, nc | nonconv), (
+            vp_lo, vp_hi, vn_lo, vn_hi, sbs, score_end,
+        )
+
+    def slice_wrap(carry, s):
+        old_end, nc = carry
+        return slice_step_inner(old_end, nc, s)
 
     init_old_end = jnp.zeros((P, B), dtype=jnp.int32)
-    _, per_slice = jax.lax.scan(
-        slice_step, init_old_end, jnp.arange(num_slices, dtype=jnp.int32)
+    (_, nonconv), per_slice = jax.lax.scan(
+        slice_wrap,
+        (init_old_end, jnp.bool_(False)),
+        jnp.arange(num_slices, dtype=jnp.int32),
     )
     # per_slice leaves: [S, P, B]
-    return per_slice
+    return per_slice + (nonconv,)
 
 
 class DeviceSliceView:
@@ -348,6 +395,10 @@ class BatchAligner:
         codes = np.full((B, S * WORD_SIZE), _READ_CODE["N"], dtype=np.uint8)
         for i, s in enumerate(sequences):
             codes[i, : len(s)] = encode_read(s)
+        if self.sched.cyclic:
+            # cyclic SCCs need the fixpoint column backend (the skewed
+            # wavefront schedule assumes forward-only dependencies)
+            backend = "column"
         if backend == "wavefront":
             from ..ops.pallas.exhaustive import _build_eq_vectors
             from .engine_wave import (
@@ -377,8 +428,15 @@ class BatchAligner:
                 jnp.asarray(self.sched.node_slot),
                 num_slices=S,
                 num_nodes=self.sched.num_nodes,
+                cyclic=self.sched.cyclic,
             )
-            host = [np.asarray(x) for x in out]  # each [S, P, B]
+            *slabs, nonconv = out
+            if bool(np.asarray(nonconv)):
+                raise ValueError(
+                    "cyclic fixpoint did not converge within the pass "
+                    "cap; use the oracle backend"
+                )
+            host = [np.asarray(x) for x in slabs]  # each [S, P, B]
         vp_lo, vp_hi, vn_lo, vn_hi, sbs, score_end = host
         tables = []
         for b in range(B):

@@ -65,10 +65,68 @@ def test_engine_mixed_lengths(sim_graph, sim_reads):
     assert results[0].alignment == solo[0].alignment
 
 
-def test_engine_rejects_cyclic_graphs():
+def test_engine_cyclic_matches_oracle():
+    """Full-band (-i) on a CYCLIC graph through the device fixpoint
+    backend (reference full-band mode segfaults on every input — see
+    test_tools.py::test_reference_full_band_crashes — so the oracle
+    pipeline at unbounded bandwidth defines the semantics)."""
+    import random
+
     g = graph_from_gfa_file(f"{SIM}/cyclic.gfa")
-    with pytest.raises(ValueError, match="cyclic"):
-        build_schedule(g)
+    sched = build_schedule(g)
+    assert sched.cyclic
+    seqs = {}
+    for line in open(f"{SIM}/cyclic.gfa"):
+        if line.startswith("S\t"):
+            _, nid, seq = line.split()
+            seqs[int(nid)] = seq
+    rng = random.Random(11)
+    path = [6, 7, 8, 9, 10, 11, 12, 8, 9, 10, 11, 12, 13, 14]
+    truth = "".join(seqs[n] for n in path)
+    bases = "ACGT"
+    reads = []
+    from graphaligner_tpu.io.fastq import FastQ
+
+    for i in range(3):
+        mut = "".join(
+            rng.choice(bases) if rng.random() < 0.05 else c for c in truth
+        )
+        reads.append(FastQ(seq_id=f"cyc{i}", sequence=mut, quality="!" * len(mut)))
+    results = align_batch_full_band(g, reads)
+    for read, res in zip(reads, results):
+        oracle = align_one_way_full_band(g, read.seq_id, read.sequence, 10**6, 0)
+        assert res.alignment.score == oracle.alignment.score, read.seq_id
+        assert res.alignment == oracle.alignment, read.seq_id
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists("/tmp/refbuild/bin/Aligner"),
+    reason="reference binary not built",
+)
+def test_reference_full_band_crashes():
+    """Recorded reproduction of the reference full-band (-i) crash
+    (PARITY.md §2.1): the reference binary dies with SIGSEGV on the
+    FIRST read of any corpus when run with -i (initial minScore bug in
+    getBacktraceFullStart, GraphAligner.h:3100-3133). This documents
+    the divergence: our -i mode is the fixed/optimal semantics."""
+    import os
+    import subprocess
+
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    out = subprocess.run(
+        [
+            "/tmp/refbuild/bin/Aligner",
+            "-g", os.path.join(fixtures, "longsim/graph.vg"),
+            "-f", os.path.join(fixtures, "sim/sim.fastq"),
+            "-a", "/tmp/ref_i_crash.gam",
+            "-t", "1", "-b", "35", "-i",
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/tmp",
+    )
+    assert "Signal 11" in out.stdout + out.stderr, (
+        "reference -i no longer crashes — re-evaluate the -i parity "
+        "claim in PARITY.md"
+    )
 
 
 def test_wavefront_backend_matches_column_backend(sim_graph, sim_reads):
