@@ -101,12 +101,22 @@ def write_payloads(path: str, payloads: list, group_size: int = 1000) -> None:
     framed = frame_payloads(payloads, group_size)
     compressed = native.gzip_bytes(framed, level=6)
     if compressed is None:
-        buf = io.BytesIO()
-        with gzip.GzipFile(fileobj=buf, mode="wb", compresslevel=6, mtime=0) as gz:
-            gz.write(framed)
-        compressed = buf.getvalue()
+        compressed = _gzip_fallback(framed)
     with open(path, "wb") as f:
         f.write(compressed)
+
+
+def _gzip_fallback(framed: bytes) -> bytes:
+    """Python-gzip fallback matching the native header byte-for-byte:
+    mtime=0 (protobuf's GzipOutputStream writes zero) and OS=3 (Unix,
+    what the reference's zlib emits — Python's default 255 made the
+    container differ from reference GAM files at byte 9)."""
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", compresslevel=6, mtime=0) as gz:
+        gz.write(framed)
+    out = bytearray(buf.getvalue())
+    out[9] = 3
+    return bytes(out)
 
 
 def write_messages(path: str, messages: Iterable, group_size: int = 1000) -> None:
@@ -116,11 +126,6 @@ def write_messages(path: str, messages: Iterable, group_size: int = 1000) -> Non
     framed = frame_messages(messages, group_size)
     compressed = native.gzip_bytes(framed, level=6)
     if compressed is None:
-        # mtime=0 for deterministic output (protobuf's GzipOutputStream
-        # also writes a zero mtime).
-        buf = io.BytesIO()
-        with gzip.GzipFile(fileobj=buf, mode="wb", compresslevel=6, mtime=0) as gz:
-            gz.write(framed)
-        compressed = buf.getvalue()
+        compressed = _gzip_fallback(framed)
     with open(path, "wb") as f:
         f.write(compressed)

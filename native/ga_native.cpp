@@ -89,7 +89,7 @@ uint8_t* ga_gzip(const uint8_t* data, int64_t len, int level, int64_t* out_len) 
     return nullptr;
   gz_header head;
   memset(&head, 0, sizeof(head));
-  head.os = 255;
+  head.os = 3;  // Unix, what the reference's zlib writes (stream.hpp golden)
   deflateSetHeader(&zs, &head);
   size_t cap = deflateBound(&zs, (uLong)len) + 32;
   uint8_t* out = (uint8_t*)malloc(cap);
