@@ -1,0 +1,95 @@
+"""One-shot TPU measurement battery: runs everything needed to steer the
+perf round in a single process (A/B runs must be back-to-back — machine
+speed drifts +-30% across processes).
+
+1. longsim 1000x10kb end-to-end (the bench.py headline) with a stage
+   breakdown.
+2. sim 600bp short-read corpus end-to-end (VERDICT weak #2).
+
+Usage: python profile_battery.py [out.json]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def _load(corpus):
+    from graphaligner_tpu.graph import load_alignment_graph
+    from graphaligner_tpu.io import load_fastq
+    from graphaligner_tpu.runtime.aligner import load_seed_hits
+
+    d = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests/fixtures", corpus
+    )
+    graph = load_alignment_graph(f"{d}/graph.vg")
+    reads = load_fastq(f"{d}/reads.fastq")
+    seeds = load_seed_hits(f"{d}/seeds.gam", [r.seq_id for r in reads])
+    return graph, reads, seeds
+
+
+def _tile(reads, seeds, times):
+    from dataclasses import replace
+
+    out, smap = [], {}
+    for t in range(times):
+        for r in reads:
+            rid = f"{r.seq_id}_t{t}"
+            out.append(replace(r, seq_id=rid))
+            smap[rid] = seeds[r.seq_id]
+    return out, smap
+
+
+def run_corpus(corpus, tile, label, results):
+    from graphaligner_tpu.core.batch_align import (
+        BandedBatchAligner,
+        align_reads_seeded_batch,
+    )
+
+    graph, reads, seeds = _load(corpus)
+    reads, seeds = _tile(reads, seeds, tile)
+    ba = BandedBatchAligner(graph, 35, 0)
+    # warm-up: compile every signature
+    t0 = time.time()
+    align_reads_seeded_batch(graph, ba, reads, seeds)
+    warm = time.time() - t0
+    # timed pass
+    t0 = time.time()
+    res = align_reads_seeded_batch(graph, ba, reads, seeds)
+    dt = time.time() - t0
+    n = len(reads)
+    ok = sum(1 for r in res.values() if not r.alignment_failed)
+    bp = sum(len(r.sequence) for r in reads)
+    entry = {
+        "corpus": label,
+        "reads": n,
+        "aligned": ok,
+        "wall_s": round(dt, 2),
+        "reads_per_s": round(n / dt, 1),
+        "bp_per_s": round(bp / dt / 1e6, 2),
+        "warm_s": round(warm, 1),
+    }
+    print(json.dumps(entry), flush=True)
+    results.append(entry)
+    return ba, graph, reads, seeds
+
+
+def main():
+    results = []
+    t_all = time.time()
+    run_corpus("longsim", 10, "longsim x10 (1000 reads, 10kb)", results)
+    run_corpus("sim", 10, "sim x10 (short reads ~600bp)", results)
+    results.append({"total_wall_s": round(time.time() - t_all, 1)})
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/battery.json"
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", out, flush=True)
+
+
+if __name__ == "__main__":
+    main()
