@@ -117,6 +117,58 @@ def _corr_flags(cc, ffc, cur):
 
 
 
+_STARTS_STEP = None
+
+
+def _starts_step_fn():
+    """Jitted device-side min_score_index.back() summary for one round:
+    given the round's final-slice tables and per-lane (step, lane, mask)
+    selectors, returns [6, B] int32 (best, nmins, pos, slot, off, node).
+    Unique-minimum lanes (the overwhelming majority) then need no
+    final-slice transfer at all — only this tiny array crosses the
+    remote link (reference: min_score_index.back() of
+    GraphAligner.h:2359-2366; ties fall back to the host order replay)."""
+    global _STARTS_STEP
+    if _STARTS_STEP is None:
+        import jax
+        import jax.numpy as jnp
+
+        def step(sends_dev, band_dev, lens_dev, node_start, packed, acc):
+            steps = packed[0]
+            lane = packed[1]
+            mask = packed[2] != 0
+            sends = sends_dev[steps, :, lane]  # [B, Cm]
+            band = band_dev[steps, :, lane]  # [B, Nm]
+            lens = lens_dev[steps, :, lane]  # [B, Nm]
+            valid = band != EMPTY
+            lens = jnp.where(valid, lens, 0)
+            offs = jnp.cumsum(lens, axis=1) - lens
+            c_used = lens.sum(axis=1)
+            big = jnp.int32(2**31 - 1)
+            cm_idx = jnp.arange(sends.shape[1], dtype=jnp.int32)[None, :]
+            masked = jnp.where(cm_idx < c_used[:, None], sends, big)
+            best = masked.min(axis=1)
+            is_min = masked == best[:, None]
+            nmins = is_min.sum(axis=1).astype(jnp.int32)
+            first = jnp.argmax(is_min, axis=1).astype(jnp.int32)
+            slot = ((offs <= first[:, None]) & valid).sum(axis=1).astype(
+                jnp.int32
+            ) - 1
+            slot_c = jnp.clip(slot, 0, offs.shape[1] - 1)[:, None]
+            off = first - jnp.take_along_axis(offs, slot_c, axis=1)[:, 0]
+            node = jnp.take_along_axis(band, slot_c, axis=1)[:, 0]
+            pos = (
+                node_start[jnp.clip(node, 0, node_start.shape[0] - 1)] + off
+            )
+            out = jnp.stack([best, nmins, pos, slot, off, node]).astype(
+                jnp.int32
+            )
+            return jnp.where(mask[None, :], out, acc)
+
+        _STARTS_STEP = jax.jit(step)
+    return _STARTS_STEP
+
+
 def _pad_lead(arr, fill):
     """Prepend one zero/fill slice along axis 0 (the walk kernel's
     below-window neighbor entry)."""
@@ -732,16 +784,38 @@ class BandedBatchAligner:
                 results,
             )
             return ("done", results)
-        final_sends, final_band = self._gather_final_sends(lanes, keeps)
-        try:
-            starts = self._walk_starts(
-                problems, lanes, keeps, walk_idx, final_sends, final_band
-            )
-        except AssertionError:
-            # host/device band divergence: fall back lane-by-lane
-            for i in walk_idx:
-                lanes[i].failed = True
-            return ("done", results)
+        fast = self._walk_starts_fast(lanes, keeps, walk_idx)
+        starts_map: dict = {}
+        slow_idx = []
+        for i in walk_idx:
+            rec_best = lanes[i].accepted[int(keeps[i]) - 1].min_score
+            if int(fast[1, i]) == 1 and int(fast[0, i]) == rec_best:
+                starts_map[i] = (int(fast[2, i]), int(fast[3, i]), int(fast[4, i]))
+            else:
+                slow_idx.append(i)
+        if slow_idx:
+            # score ties (or a host/device min divergence): the reference
+            # picks the LAST minimum in banded-Tarjan collection order,
+            # which needs the host band-order replay over the fetched
+            # final slice
+            final_sends, final_band = self._gather_final_sends(lanes, keeps)
+            try:
+                slow = self._walk_starts(
+                    problems, lanes, keeps, slow_idx, final_sends, final_band
+                )
+            except AssertionError:
+                # host/device band divergence: fall back lane-by-lane
+                # (only the affected lanes; unique-minimum lanes keep
+                # their device-decided starts)
+                for i in slow_idx:
+                    lanes[i].failed = True
+            else:
+                for i, s in zip(slow_idx, slow):
+                    starts_map[i] = s
+            walk_idx = [i for i in walk_idx if i in starts_map]
+            if not walk_idx:
+                return ("done", results)
+        starts = [starts_map[i] for i in walk_idx]
         import jax
 
         from ..io import native
@@ -941,6 +1015,42 @@ class BandedBatchAligner:
                 r.num_cells for r in lane.accepted[: int(keeps[i])]
             ) * WORD_SIZE
             results[i] = (score, arr, int(keeps[i]), cells)
+
+    def _walk_starts_fast(self, lanes, keeps, walk_idx):
+        """Device-side walk-start decision: one [6, B] int32 fetch
+        (best, nmins, pos, slot, off, node) instead of the [B, Cm+Nm]
+        final-slice transfer (~60x fewer bytes over the remote link,
+        and nothing Cm-sized on the scan->walk critical path)."""
+        import jax.numpy as jnp
+
+        B = len(lanes)
+        rounds = []
+        for i in walk_idx:
+            rec = lanes[i].accepted[int(keeps[i]) - 1]
+            if rec.rnd not in rounds:
+                rounds.append(rec.rnd)
+        step_fn = _starts_step_fn()
+        acc = jnp.zeros((6, B), jnp.int32)
+        for rnd in rounds:
+            steps = np.zeros(B, np.int32)
+            lane_pos = np.zeros(B, np.int32)
+            mask = np.zeros(B, np.int32)
+            for i in walk_idx:
+                rec = lanes[i].accepted[int(keeps[i]) - 1]
+                if rec.rnd is rnd:
+                    steps[i] = rec.step
+                    lane_pos[i] = rec.lane_in_round
+                    mask[i] = 1
+            packed = np.stack([steps, lane_pos, mask])
+            acc = step_fn(
+                rnd.sends_dev,
+                rnd.band_ids_dev,
+                rnd.lens_tab_dev,
+                self.tables.node_start,
+                packed,
+                acc,
+            )
+        return np.asarray(acc)
 
     def _gather_final_sends(self, lanes, keeps):
         """One batched device gather + fetch of every walk lane's final
