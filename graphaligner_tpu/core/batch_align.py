@@ -797,7 +797,22 @@ class BandedBatchAligner:
             # score ties (or a host/device min divergence): the reference
             # picks the LAST minimum in banded-Tarjan collection order,
             # which needs the host band-order replay over the fetched
-            # final slice
+            # final slice. Start the replay inputs' host copies first so
+            # they overlap the final-sends fetch below.
+            seen = set()
+            for i in slow_idx:
+                for rec in lanes[i].accepted[: int(keeps[i])]:
+                    if id(rec.rnd) in seen:
+                        continue
+                    seen.add(id(rec.rnd))
+                    for arr in (rec.rnd.tie16_dev, rec.rnd.ids_sub_dev):
+                        if arr is not None and hasattr(
+                            arr, "copy_to_host_async"
+                        ):
+                            try:
+                                arr.copy_to_host_async()
+                            except Exception:
+                                pass
             final_sends, final_band = self._gather_final_sends(lanes, keeps)
             try:
                 slow = self._walk_starts(
@@ -1685,16 +1700,20 @@ class BandedBatchAligner:
             mesh=self.mesh,
             mesh_axis=self.mesh_axis,
         )
-        # enqueue host copies now: they run right after the scan on the
-        # device timeline and overlap whatever is dispatched next, so the
-        # later np.asarray calls return without paying transfer latency
-        for key in ("control", "tie16", "ids_sub"):
-            arr = out.get(key)
-            if arr is not None and hasattr(arr, "copy_to_host_async"):
-                try:
-                    arr.copy_to_host_async()
-                except Exception:
-                    pass
+        # enqueue the control host copy now: it runs right after the scan
+        # on the device timeline and overlaps whatever is dispatched next,
+        # so _finish_round's np.asarray returns without transfer latency.
+        # tie16/ids_sub (10+MB per chunk) are NOT prefetched here — they
+        # are needed only when a walk lane has score ties or falls to the
+        # host table path, and an eager copy would delay the moves fetch
+        # behind it on the remote link (_walk_dispatch prefetches them
+        # the moment a tie lane is detected).
+        arr = out.get("control")
+        if arr is not None and hasattr(arr, "copy_to_host_async"):
+            try:
+                arr.copy_to_host_async()
+            except Exception:
+                pass
         scan_inputs = (
             codes_lane, bw, init_ids, init_send, init_nmin, init_nend,
             init_min, (seg_active, seg_first, seg_slen, seg_rnode, seg_rlen),
