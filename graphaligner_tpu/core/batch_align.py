@@ -644,6 +644,9 @@ class BandedBatchAligner:
         Failed lanes are withheld until the capacity-retry tier resolves
         them; the last yielded batch maps the remainder (value None =
         host fallback needed)."""
+        import os as _os
+
+        chunk_size = int(_os.environ.get("GA_CHUNK", chunk_size))
         # segment-packed chunks: problems are packed back to back into
         # scan lanes (FFD, the same packing _dispatch_round computes), so
         # a chunk mixes 160-slice forward extensions with 2-slice
