@@ -117,19 +117,20 @@ def _corr_flags(cc, ffc, cur):
 
 
 
-_STARTS_STEP = None
+_WALK_INPUTS_STEP = None
 
 
-def _starts_step_fn():
-    """Jitted device-side min_score_index.back() summary for one round:
-    given the round's final-slice tables and per-lane (step, lane, mask)
-    selectors, returns [6, B] int32 (best, nmins, pos, slot, off, node).
-    Unique-minimum lanes (the overwhelming majority) then need no
-    final-slice transfer at all — only this tiny array crosses the
-    remote link (reference: min_score_index.back() of
-    GraphAligner.h:2359-2366; ties fall back to the host order replay)."""
-    global _STARTS_STEP
-    if _STARTS_STEP is None:
+def _walk_inputs_step_fn():
+    """Jitted per-round gather of every walk lane's final-slice data PLUS
+    the device-side min_score_index.back() decision, packed into ONE
+    [B, Cm+Nm+6] array (one transfer per chunk on the remote link): the
+    per-cell last-row scores, the band node ids, and the start summary
+    (best, nmins, pos, slot, off, node). Unique-minimum lanes take the
+    device decision directly; ties fall back to the host band-order
+    replay over the fetched slice (reference: min_score_index.back(),
+    GraphAligner.h:2359-2366)."""
+    global _WALK_INPUTS_STEP
+    if _WALK_INPUTS_STEP is None:
         import jax
         import jax.numpy as jnp
 
@@ -160,13 +161,14 @@ def _starts_step_fn():
             pos = (
                 node_start[jnp.clip(node, 0, node_start.shape[0] - 1)] + off
             )
-            out = jnp.stack([best, nmins, pos, slot, off, node]).astype(
-                jnp.int32
-            )
-            return jnp.where(mask[None, :], out, acc)
+            st6 = jnp.stack(
+                [best, nmins, pos, slot, off, node], axis=1
+            ).astype(jnp.int32)
+            src = jnp.concatenate([sends, band, st6], axis=1)
+            return jnp.where(mask[:, None], src, acc)
 
-        _STARTS_STEP = jax.jit(step)
-    return _STARTS_STEP
+        _WALK_INPUTS_STEP = jax.jit(step)
+    return _WALK_INPUTS_STEP
 
 
 def _pad_lead(arr, fill):
@@ -787,36 +789,22 @@ class BandedBatchAligner:
                 results,
             )
             return ("done", results)
-        fast = self._walk_starts_fast(lanes, keeps, walk_idx)
+        final_sends, final_band, st6 = self._gather_walk_inputs(lanes, keeps)
         starts_map: dict = {}
         slow_idx = []
         for i in walk_idx:
             rec_best = lanes[i].accepted[int(keeps[i]) - 1].min_score
-            if int(fast[1, i]) == 1 and int(fast[0, i]) == rec_best:
-                starts_map[i] = (int(fast[2, i]), int(fast[3, i]), int(fast[4, i]))
+            if int(st6[i, 1]) == 1 and int(st6[i, 0]) == rec_best:
+                # unique minimum: collection order is tie-breaking only,
+                # the device decision is exact
+                starts_map[i] = (int(st6[i, 2]), int(st6[i, 3]), int(st6[i, 4]))
             else:
                 slow_idx.append(i)
         if slow_idx:
             # score ties (or a host/device min divergence): the reference
             # picks the LAST minimum in banded-Tarjan collection order,
             # which needs the host band-order replay over the fetched
-            # final slice. Start the replay inputs' host copies first so
-            # they overlap the final-sends fetch below.
-            seen = set()
-            for i in slow_idx:
-                for rec in lanes[i].accepted[: int(keeps[i])]:
-                    if id(rec.rnd) in seen:
-                        continue
-                    seen.add(id(rec.rnd))
-                    for arr in (rec.rnd.tie16_dev, rec.rnd.ids_sub_dev):
-                        if arr is not None and hasattr(
-                            arr, "copy_to_host_async"
-                        ):
-                            try:
-                                arr.copy_to_host_async()
-                            except Exception:
-                                pass
-            final_sends, final_band = self._gather_final_sends(lanes, keeps)
+            # final slice
             try:
                 slow = self._walk_starts(
                     problems, lanes, keeps, slow_idx, final_sends, final_band
@@ -1034,27 +1022,31 @@ class BandedBatchAligner:
             ) * WORD_SIZE
             results[i] = (score, arr, int(keeps[i]), cells)
 
-    def _walk_starts_fast(self, lanes, keeps, walk_idx):
-        """Device-side walk-start decision: one [6, B] int32 fetch
-        (best, nmins, pos, slot, off, node) instead of the [B, Cm+Nm]
-        final-slice transfer (~60x fewer bytes over the remote link,
-        and nothing Cm-sized on the scan->walk critical path)."""
+    def _gather_walk_inputs(self, lanes, keeps):
+        """One batched device gather + fetch of every walk lane's final
+        slice: per-cell last-row scores [B, Cm], band node ids [B, Nm],
+        and the device-side start decision [B, 6], packed into a single
+        transfer (per-lane fetches cost ~40ms each over the remote-TPU
+        link)."""
         import jax.numpy as jnp
 
         B = len(lanes)
+        acc = jnp.zeros((B, self.Cm + self.Nm + 6), jnp.int32)
         rounds = []
-        for i in walk_idx:
-            rec = lanes[i].accepted[int(keeps[i]) - 1]
-            if rec.rnd not in rounds:
-                rounds.append(rec.rnd)
-        step_fn = _starts_step_fn()
-        acc = jnp.zeros((6, B), jnp.int32)
+        for i, lane in enumerate(lanes):
+            if not lane.failed and keeps[i] > 0:
+                rec = lane.accepted[int(keeps[i]) - 1]
+                if rec.rnd not in rounds:
+                    rounds.append(rec.rnd)
+        step_fn = _walk_inputs_step_fn()
         for rnd in rounds:
-            steps = np.zeros(B, np.int32)
-            lane_pos = np.zeros(B, np.int32)
-            mask = np.zeros(B, np.int32)
-            for i in walk_idx:
-                rec = lanes[i].accepted[int(keeps[i]) - 1]
+            steps = np.zeros(B, dtype=np.int32)
+            lane_pos = np.zeros(B, dtype=np.int32)
+            mask = np.zeros(B, dtype=np.int32)
+            for i, lane in enumerate(lanes):
+                if lane.failed or keeps[i] == 0:
+                    continue
+                rec = lane.accepted[int(keeps[i]) - 1]
                 if rec.rnd is rnd:
                     steps[i] = rec.step
                     lane_pos[i] = rec.lane_in_round
@@ -1068,48 +1060,12 @@ class BandedBatchAligner:
                 packed,
                 acc,
             )
-        return np.asarray(acc)
-
-    def _gather_final_sends(self, lanes, keeps):
-        """One batched device gather + fetch of every walk lane's final
-        slice: per-cell last-row scores [B, Cm] and band node ids [B, Nm],
-        packed into a single transfer (per-lane fetches cost ~40ms each
-        over the remote-TPU link)."""
-        import jax.numpy as jnp
-
-        B = len(lanes)
-        acc = None
-        rounds = []
-        for i, lane in enumerate(lanes):
-            if not lane.failed and keeps[i] > 0:
-                rec = lane.accepted[int(keeps[i]) - 1]
-                if rec.rnd not in rounds:
-                    rounds.append(rec.rnd)
-        for rnd in rounds:
-            steps = np.zeros(B, dtype=np.int32)
-            lane_pos = np.zeros(B, dtype=np.int32)
-            mask = np.zeros(B, dtype=bool)
-            for i, lane in enumerate(lanes):
-                if lane.failed or keeps[i] == 0:
-                    continue
-                rec = lane.accepted[int(keeps[i]) - 1]
-                if rec.rnd is rnd:
-                    steps[i] = rec.step
-                    lane_pos[i] = rec.lane_in_round
-                    mask[i] = True
-            steps_d = jnp.asarray(steps)
-            lane_d = jnp.asarray(lane_pos)
-            src = jnp.concatenate(
-                [
-                    rnd.sends_dev[steps_d, :, lane_d],  # [B, Cm]
-                    rnd.band_ids_dev[steps_d, :, lane_d],  # [B, Nm]
-                ],
-                axis=1,
-            )
-            m = jnp.asarray(mask)[:, None]
-            acc = jnp.where(m, src, 0) if acc is None else jnp.where(m, src, acc)
-        packed = np.asarray(acc)  # [B, Cm + Nm]
-        return packed[:, : self.Cm], packed[:, self.Cm :]
+        out = np.asarray(acc)  # [B, Cm + Nm + 6]
+        return (
+            out[:, : self.Cm],
+            out[:, self.Cm : self.Cm + self.Nm],
+            out[:, self.Cm + self.Nm :],
+        )
 
     def _walk_starts(self, problems, lanes, keeps, walk_idx, final_sends, final_band):
         """Backtrace start position per lane: min_score_index.back() of the
@@ -1142,11 +1098,10 @@ class BandedBatchAligner:
         off_w = first_cell - offs_w[np.arange(len(widx)), slot_w]
         node_w = fb[np.arange(len(widx)), slot_w]
         pos_w = np.asarray(g.node_start)[node_w] + off_w
-        starts = []
-        for w, i in enumerate(walk_idx):
-            if nmins[w] == 1:
-                starts.append((int(pos_w[w]), int(slot_w[w]), int(off_w[w])))
-                continue
+        def resolve_tie(i):
+            """Reference min_score_index.back(): the LAST minimum cell in
+            banded-Tarjan collection order, which needs the band-order
+            replay chain (GraphAligner.h:2359-2366)."""
             lane = lanes[i]
             keep = int(keeps[i])
             accepted = lane.accepted[:keep]
@@ -1164,15 +1119,13 @@ class BandedBatchAligner:
                 cell = int(hits[0])
                 slot = int(np.searchsorted(offs2, cell, side="right")) - 1
                 off = cell - int(offs2[slot])
-                starts.append((int(g.node_start[order2[slot]]) + off, slot, off))
-                continue
+                return (int(g.node_start[order2[slot]]) + off, slot, off)
             orders = self._band_orders(problems[i][1], accepted, lane.bandwidths[:keep])
             order = orders[-1]
             cell_of = {
                 int(n): (int(f), int(L))
                 for n, f, L in zip(order2, offs2, lens2)
             }
-            best = rec.min_score
             last = None
             comps = _banded_tarjan(g, list(order), {n: True for n in order})
             for comp in reversed(comps):
@@ -1187,7 +1140,36 @@ class BandedBatchAligner:
             assert last is not None
             node = int(g.pos_to_node[last])
             slot = int(np.nonzero(order2 == node)[0][0])
-            starts.append((last, slot, last - int(g.node_start[node])))
+            return (last, slot, last - int(g.node_start[node]))
+
+        starts: list = [None] * len(walk_idx)
+        tie_idx = []
+        for w, i in enumerate(walk_idx):
+            if nmins[w] == 1:
+                starts[w] = (int(pos_w[w]), int(slot_w[w]), int(off_w[w]))
+            else:
+                tie_idx.append((w, i))
+        if tie_idx:
+            # materialize the lazy per-round replay inputs once, single-
+            # threaded (they are cached on the _Round), then resolve the
+            # tie lanes on the host pool: the native band-order replay
+            # releases the GIL (reference analog: per-thread backtraces,
+            # Aligner.cpp:275-298)
+            from ..io import native as _native
+
+            have_native = _native.get_lib() is not None
+            for _, i in tie_idx:
+                for rec in lanes[i].accepted[: int(keeps[i])]:
+                    if have_native:
+                        rec.rnd.tie16
+                        rec.rnd.tie_ids_sub
+                    else:
+                        rec.rnd.tie_data
+            resolved = list(
+                _decode_pool().map(resolve_tie, [i for _, i in tie_idx])
+            )
+            for (w, _), s in zip(tie_idx, resolved):
+                starts[w] = s
         return starts
 
     def _consolidate(self, lanes, keeps, K_max, layout):
@@ -1703,20 +1685,20 @@ class BandedBatchAligner:
             mesh=self.mesh,
             mesh_axis=self.mesh_axis,
         )
-        # enqueue the control host copy now: it runs right after the scan
-        # on the device timeline and overlaps whatever is dispatched next,
-        # so _finish_round's np.asarray returns without transfer latency.
-        # tie16/ids_sub (10+MB per chunk) are NOT prefetched here — they
-        # are needed only when a walk lane has score ties or falls to the
-        # host table path, and an eager copy would delay the moves fetch
-        # behind it on the remote link (_walk_dispatch prefetches them
-        # the moment a tie lane is detected).
-        arr = out.get("control")
-        if arr is not None and hasattr(arr, "copy_to_host_async"):
-            try:
-                arr.copy_to_host_async()
-            except Exception:
-                pass
+        # enqueue host copies now: they run right after the scan on the
+        # device timeline and overlap whatever is dispatched next, so the
+        # later np.asarray calls return without paying transfer latency.
+        # tie16/ids_sub stay in the eager set: final-slice score TIES are
+        # the norm on real corpora (~80% of walk lanes, both sim and
+        # longsim), so nearly every chunk runs the band-order replay that
+        # consumes them.
+        for key in ("control", "tie16", "ids_sub"):
+            arr = out.get(key)
+            if arr is not None and hasattr(arr, "copy_to_host_async"):
+                try:
+                    arr.copy_to_host_async()
+                except Exception:
+                    pass
         scan_inputs = (
             codes_lane, bw, init_ids, init_send, init_nmin, init_nend,
             init_min, (seg_active, seg_first, seg_slen, seg_rnode, seg_rlen),
