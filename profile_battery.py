@@ -27,9 +27,13 @@ def _load(corpus):
     d = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tests/fixtures", corpus
     )
-    graph = load_alignment_graph(f"{d}/graph.vg")
-    reads = load_fastq(f"{d}/reads.fastq")
-    seeds = load_seed_hits(f"{d}/seeds.gam", [r.seq_id for r in reads])
+    names = {
+        "longsim": ("graph.vg", "reads.fastq", "seeds.gam"),
+        "sim": ("bubbles.vg", "sim.fastq", "seeds.gam"),
+    }[corpus]
+    graph = load_alignment_graph(os.path.join(d, names[0]))
+    reads = load_fastq(os.path.join(d, names[1]))
+    seeds = load_seed_hits(os.path.join(d, names[2]), [r.seq_id for r in reads])
     return graph, reads, seeds
 
 
@@ -45,12 +49,14 @@ def _tile(reads, seeds, times):
     return out, smap
 
 
-def run_corpus(corpus, tile, label, results):
+def run_corpus(corpus, tile, label, results, chunk=None):
     from graphaligner_tpu.core.batch_align import (
         BandedBatchAligner,
         align_reads_seeded_batch,
     )
 
+    if chunk is not None:
+        os.environ["GA_CHUNK"] = str(chunk)
     graph, reads, seeds = _load(corpus)
     reads, seeds = _tile(reads, seeds, tile)
     ba = BandedBatchAligner(graph, 35, 0)
@@ -67,6 +73,7 @@ def run_corpus(corpus, tile, label, results):
     bp = sum(len(r.sequence) for r in reads)
     entry = {
         "corpus": label,
+        "chunk": chunk or 256,
         "reads": n,
         "aligned": ok,
         "wall_s": round(dt, 2),
@@ -84,6 +91,15 @@ def main():
     t_all = time.time()
     run_corpus("longsim", 10, "longsim x10 (1000 reads, 10kb)", results)
     run_corpus("sim", 10, "sim x10 (short reads ~600bp)", results)
+    # chunk-width sweep: at B=256 the cell kernel's [B]-shaped vector ops
+    # fill only 2 of 8 VPU sublanes; wider chunks should amortize both
+    # the per-step fixed cost and the tile padding (compiles new B
+    # signatures — each ~20-150s on the remote toolchain)
+    for chunk in (512, 1024):
+        run_corpus(
+            "longsim", 10, f"longsim x10 chunk={chunk}", results, chunk=chunk
+        )
+    run_corpus("sim", 10, "sim x10 chunk=1024", results, chunk=1024)
     results.append({"total_wall_s": round(time.time() - t_all, 1)})
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/battery.json"
     with open(out, "w") as f:
