@@ -47,9 +47,15 @@ _JIT_CACHE: dict = {}
 def walk_moves(*args, K_in, W_cap=448, Bb=128):
     """jit-cached entry (one jit instance per shape signature — see the
     dispatch-fastpath note in core.engine_banded)."""
+    import os
+
     import jax
 
     shapes = tuple(a.shape for a in args)
+    # batch-block width: fewer blocks = fewer sequential grid steps, but
+    # each block's lockstep loop runs to the max over more lanes
+    # (GA_WALK_BB is the TPU A/B sweep knob)
+    Bb = int(os.environ.get("GA_WALK_BB", Bb))
     Bb = min(Bb, args[0].shape[3])
     key = (shapes, K_in, W_cap, Bb)
     fn = _JIT_CACHE.get(key)
