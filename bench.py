@@ -65,7 +65,38 @@ def measure_reference_baseline():
     return BASELINE_READS_PER_S, None
 
 
+def _device_reachable(timeout_s=300):
+    """Probe the TPU client in a SUBPROCESS: when the remote tunnel
+    blackholes (observed after long outages), jax.devices() hangs
+    uninterruptibly in-process — a timed child is the only safe check."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+        return r.returncode == 0 and "ok" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
+    if not _device_reachable():
+        print(
+            json.dumps(
+                {
+                    "metric": "reads_per_s",
+                    "value": 0,
+                    "unit": "reads/s",
+                    "vs_baseline": 0,
+                    "error": "TPU device unreachable (remote tunnel down); "
+                    "benchmark could not run",
+                }
+            )
+        )
+        return
+
     import jax
 
     from graphaligner_tpu.core.batch_align import (
