@@ -837,8 +837,13 @@ class BandedBatchAligner:
             K_max = cap
         else:
             K_max = 32
+        import os as _os
+
         use_moves = (
-            jax.default_backend() != "cpu"
+            (
+                jax.default_backend() != "cpu"
+                or bool(_os.environ.get("GA_FORCE_MOVES"))
+            )
             and self.tables.k_in <= 4
             and self.Nm <= 32
             and native.get_lib() is not None

@@ -139,10 +139,17 @@ def banded_scan(
     K_in = args[3].shape[1]
     if use_pallas is None:
         # the Pallas kernel needs a real TPU (Mosaic) backend; metadata
-        # packing limits: 5-bit slots, 5 predecessor slots per word
-        use_pallas = (
-            jax.default_backend() != "cpu" and Nm <= 32 and K_in <= 5
+        # packing limits: 5-bit slots, 5 predecessor slots per word.
+        # GA_FORCE_PALLAS=1 runs it in interpreter mode on CPU so the
+        # suite can differentially cover the production kernel + the
+        # layout_parallel metadata path.
+        import os
+
+        backend_ok = (
+            jax.default_backend() != "cpu"
+            or bool(os.environ.get("GA_FORCE_PALLAS"))
         )
+        use_pallas = backend_ok and Nm <= 32 and K_in <= 5
     segmented = seg is not None
     # the pairwise dedup compares (rank, pri) as two int32 fields (same
     # node => same rank), so there is NO graph-size ceiling; the optional

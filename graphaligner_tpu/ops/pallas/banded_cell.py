@@ -205,6 +205,9 @@ def banded_cell_kernel(
     cols, buf, nmin = pl.pallas_call(
         kernel,
         grid=(nb,),
+        # interpreter mode lets the CPU suite cover the PRODUCTION kernel
+        # + the layout_parallel metadata path (otherwise TPU-goldens-only)
+        interpret=(jax.default_backend() == "cpu"),
         in_specs=[
             pl.BlockSpec((Cm, Bb), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((Cm, Bb), lambda i: (0, i), memory_space=pltpu.VMEM),

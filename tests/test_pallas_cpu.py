@@ -1,0 +1,58 @@
+"""CPU interpreter-mode coverage of the PRODUCTION Pallas scan path.
+
+The banded cell kernel + its layout_parallel metadata pass normally run
+only on the real TPU (verified there against reference goldens, see
+verify_tpu.py); GA_FORCE_PALLAS=1 runs them through the Pallas
+interpreter so CI differentially pins them against the XLA cell path —
+any layout/kernel edit that breaks bit-identity fails here first."""
+
+from pathlib import Path
+
+from graphaligner_tpu.core.batch_align import (
+    BandedBatchAligner,
+    align_reads_seeded_batch,
+)
+from graphaligner_tpu.graph import load_alignment_graph
+from graphaligner_tpu.io import load_fastq
+from graphaligner_tpu.runtime.aligner import load_seed_hits
+
+SIM = Path(__file__).parent / "fixtures" / "sim"
+
+
+def _run(graph, reads, seeds):
+    aligner = BandedBatchAligner(graph, 35, 0)
+    res = align_reads_seeded_batch(graph, aligner, reads, seeds)
+    out = {}
+    for rid, r in res.items():
+        if r.alignment_failed:
+            out[rid] = None
+        else:
+            out[rid] = r.alignment.encode()
+    return out
+
+
+def test_pallas_kernel_matches_xla_path(monkeypatch):
+    graph = load_alignment_graph(str(SIM / "bubbles.vg"))
+    reads = load_fastq(str(SIM / "sim.fastq"))[:4]
+    seeds = load_seed_hits(str(SIM / "seeds.gam"), [r.seq_id for r in reads])
+
+    base = _run(graph, reads, seeds)
+    assert sum(1 for v in base.values() if v is not None) >= 3
+
+    monkeypatch.setenv("GA_FORCE_PALLAS", "1")
+    pallas = _run(graph, reads, seeds)
+    assert pallas == base
+
+
+def test_full_production_path_on_cpu(monkeypatch):
+    """Pallas cell kernel + move-walk kernel + native decode — the exact
+    real-TPU pipeline — through the interpreter, vs the XLA/CPU path."""
+    graph = load_alignment_graph(str(SIM / "bubbles.vg"))
+    reads = load_fastq(str(SIM / "sim.fastq"))[:4]
+    seeds = load_seed_hits(str(SIM / "seeds.gam"), [r.seq_id for r in reads])
+
+    base = _run(graph, reads, seeds)
+    monkeypatch.setenv("GA_FORCE_PALLAS", "1")
+    monkeypatch.setenv("GA_FORCE_MOVES", "1")
+    prod = _run(graph, reads, seeds)
+    assert prod == base
