@@ -660,15 +660,20 @@ def _banded_scan(
                 | (srcnp.astype(jnp.int32) << 15)
                 | (srcsm.astype(jnp.int32) << 16)
             )
-            m2 = jnp.zeros((Cm, B), jnp.int32)
+            # pred_tab already packs every (slot | valid<<5) << 6k word:
+            # ONE one-hot read replaces 2*K_in of them; valid bits are
+            # st-gated after the fact, slot bits intentionally are not
+            # (matching the per-k construction above)
+            rp = rd(pred_tab)
+            vb = 0
+            for k in range(K_in):
+                vb |= 1 << (5 + 6 * k)
+            m2 = jnp.where(st, rp, rp & ~jnp.int32(vb))
             be = jnp.zeros(B, bool)
             for k in range(K_in):
-                pslot_k = rd(nb_cur_slot[k])
-                pvalid_k = st & (rd(nb_in_cur[k].astype(jnp.int32)) == 1)
+                pslot_k = (rp >> (6 * k)) & 31
+                pvalid_k = st & (((rp >> (5 + 6 * k)) & 1) == 1)
                 be = be | jnp.any(pvalid_k & (pslot_k >= slot), axis=0)
-                m2 = m2 | (
-                    (pslot_k | (pvalid_k.astype(jnp.int32) << 5)) << (6 * k)
-                )
             return m1, m2, oe, ps, be
 
         if use_pallas:
