@@ -122,6 +122,13 @@ def build_graph_tables(graph: AlignmentGraph) -> BandedGraphTables:
 _JIT_CACHE: dict = {}
 
 
+def _cell_bb():
+    """Cell-kernel batch-block width (GA_CELL_BB overrides for sweeps)."""
+    import os
+
+    return int(os.environ.get("GA_CELL_BB", 256))
+
+
 def banded_scan(
     *args, S_max, Nm, Cm, I_proj=32, P_fix=16, unroll=1, use_pallas=None,
     _ablate=None, _proj="sort2", seg=None, mesh=None, mesh_axis="dp",
@@ -163,7 +170,7 @@ def banded_scan(
         else None
     )
     key = (S_max, Nm, Cm, I_proj, P_fix, B, unroll, use_pallas, _ablate,
-           _proj, segmented, mesh_key)
+           _proj, segmented, mesh_key, _cell_bb())
     fn = _JIT_CACHE.get(key)
     if fn is None:
         inner = functools.partial(
@@ -701,7 +708,13 @@ def _banded_scan(
                     seq_len_v[None, :],
                     buf_init,
                     K_in=K_in,
-                    Bb=min(256, B),
+                    # the kernel's sequential cell-iteration count is
+                    # lane-slices * Cm / Bb — ONLY Bb cuts it. [Bb]-wide
+                    # vector ops fill 2 of 8 VPU sublanes at 256; wider
+                    # blocks must still fit the ~15MB VMEM budget
+                    # (4 meta [Cm,Bb] + cols out [7,Cm,Bb] + buf).
+                    # GA_CELL_BB is the TPU A/B sweep knob.
+                    Bb=min(_cell_bb(), B),
                 )
                 return cols, buf, nmin, pre_back_edge
 

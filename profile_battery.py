@@ -49,7 +49,8 @@ def _tile(reads, seeds, times):
     return out, smap
 
 
-def run_corpus(corpus, tile, label, results, chunk=None):
+def run_corpus(corpus, tile, label, results, chunk=None, cell_bb=None,
+               walk_bb=None):
     from graphaligner_tpu.core.batch_align import (
         BandedBatchAligner,
         align_reads_seeded_batch,
@@ -57,6 +58,10 @@ def run_corpus(corpus, tile, label, results, chunk=None):
 
     if chunk is not None:
         os.environ["GA_CHUNK"] = str(chunk)
+    if cell_bb is not None:
+        os.environ["GA_CELL_BB"] = str(cell_bb)
+    if walk_bb is not None:
+        os.environ["GA_WALK_BB"] = str(walk_bb)
     graph, reads, seeds = _load(corpus)
     reads, seeds = _tile(reads, seeds, tile)
     ba = BandedBatchAligner(graph, 35, 0)
@@ -91,15 +96,23 @@ def main():
     t_all = time.time()
     run_corpus("longsim", 10, "longsim x10 (1000 reads, 10kb)", results)
     run_corpus("sim", 10, "sim x10 (short reads ~600bp)", results)
-    # chunk-width sweep: at B=256 the cell kernel's [B]-shaped vector ops
-    # fill only 2 of 8 VPU sublanes; wider chunks should amortize both
-    # the per-step fixed cost and the tile padding (compiles new B
-    # signatures — each ~20-150s on the remote toolchain)
-    for chunk in (512, 1024):
-        run_corpus(
-            "longsim", 10, f"longsim x10 chunk={chunk}", results, chunk=chunk
-        )
-    run_corpus("sim", 10, "sim x10 chunk=1024", results, chunk=1024)
+    # width sweep: the cell kernel's sequential iteration count is
+    # lane-slices * Cm / Bb, and [Bb]-wide ops fill 2/8 VPU sublanes at
+    # 256 — so the chunk width AND the kernel block widths must rise
+    # together (Bb=512 is the VMEM ceiling at Cm=288). Each combo
+    # compiles new signatures (~20-150s each on the remote toolchain).
+    run_corpus(
+        "longsim", 10, "longsim x10 chunk=512 bb=512/256", results,
+        chunk=512, cell_bb=512, walk_bb=256,
+    )
+    run_corpus(
+        "longsim", 10, "longsim x10 chunk=1024 bb=512/256", results,
+        chunk=1024, cell_bb=512, walk_bb=256,
+    )
+    run_corpus(
+        "sim", 10, "sim x10 chunk=1024 bb=512/256", results,
+        chunk=1024, cell_bb=512, walk_bb=256,
+    )
     results.append({"total_wall_s": round(time.time() - t_all, 1)})
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/battery.json"
     with open(out, "w") as f:
