@@ -62,11 +62,22 @@ def main_kernel():
     import functools
     import jax
 
-    for Bb in (256,):
+    for Bb in (128, 256):
         fn = jax.jit(functools.partial(banded_cell_kernel, K_in=K_in, Bb=Bb))
         dt = bench(fn, meta1, meta2, old_end, pseudo, eq_lo, eq_hi, seq_len,
                    buf_init)
         print(f"kernel Cm={Cm} B={B} Bb={Bb}: {dt*1000:.3f} ms", flush=True)
+    # wider batch + block: per-cell cost should stay ~flat while lanes
+    # per iteration quadruple (tile occupancy 2/8 -> 8/8 sublanes)
+    B2 = 1024
+    reps = B2 // B
+    args2 = [np.tile(a, (1,) * (a.ndim - 1) + (reps,)) for a in
+             (meta1, meta2, old_end, pseudo, eq_lo, eq_hi, seq_len)]
+    buf2 = np.tile(buf_init, (1, 1, reps))
+    for Bb in (256, 512):
+        fn = jax.jit(functools.partial(banded_cell_kernel, K_in=K_in, Bb=Bb))
+        dt = bench(fn, *args2, buf2)
+        print(f"kernel Cm={Cm} B={B2} Bb={Bb}: {dt*1000:.3f} ms", flush=True)
 
 
 def main_proj():
