@@ -309,6 +309,20 @@ def _banded_scan(
         mask = (ids < EMPTY).reshape(ids.shape + (1,) * (out.ndim - ids.ndim))
         return jnp.where(mask, out, fill)
 
+    # Packed per-node tables: XLA gathers on this TPU cost ~0.15-0.8ms
+    # EACH almost independent of payload size, so every same-index-set
+    # gather is folded into one multi-row table read (leading small axis;
+    # the batch stays last per the layout note above).
+    N_nodes = node_len.shape[0]
+    node_tbl = jnp.stack(
+        [node_len, node_start] + [in_nbrs[:, k] for k in range(K_in)], axis=0
+    )  # [2+K_in, N]
+    exp_tbl = jnp.stack([node_len, topo_rank], axis=0)  # [2, N]
+    # read-code -> 5-bit match mask LUT (one take instead of five)
+    bits_lut = jnp.zeros(match_table.shape[0], jnp.int32)
+    for _g in range(5):
+        bits_lut = bits_lut | (match_table[:, _g].astype(jnp.int32) << _g)
+
     # ------------------------------------------------------ band projection
     def project_band(p_ids_bn, p_node_min_bn, p_node_end_bn, p_min, bw, act):
         """projectForwardFromMinScore (GraphAligner.h:1110-1159) as a
@@ -347,12 +361,11 @@ def _banded_scan(
             )
             cand_id = jnp.where(cand_valid, cand_id, EMPTY)
             cand_pri = jnp.where(cand_valid, outp[:, :, None], INF_PRI)
-            cand_len = gather_node(node_len, cand_id, 0)
-            cand_outp = jnp.minimum(cand_pri + cand_len, INF_PRI)
             parts_id = [ids, cand_id.reshape(B, -1)]
             parts_pri = [pri, cand_pri.reshape(B, -1)]
-            parts_outp = [outp, cand_outp.reshape(B, -1)]
             if two_hop:
+                cand_len = gather_node(node_len, cand_id, 0)
+                cand_outp = jnp.minimum(cand_pri + cand_len, INF_PRI)
                 c2_id = gather_node(out_nbrs, cand_id, -1)  # [B, Nm, K, K]
                 c2_valid = (
                     cand_valid[..., None]
@@ -361,20 +374,30 @@ def _banded_scan(
                 )
                 c2_id = jnp.where(c2_valid, c2_id, EMPTY)
                 c2_pri = jnp.where(c2_valid, cand_outp[..., None], INF_PRI)
-                c2_len = gather_node(node_len, c2_id, 0)
-                c2_outp = jnp.minimum(c2_pri + c2_len, INF_PRI)
                 parts_id.append(c2_id.reshape(B, -1))
                 parts_pri.append(c2_pri.reshape(B, -1))
-                parts_outp.append(c2_outp.reshape(B, -1))
             all_id = jnp.concatenate(parts_id, axis=1)
             all_pri = jnp.concatenate(parts_pri, axis=1)
-            all_outp = jnp.concatenate(parts_outp, axis=1)
-            valid_e = (all_id < EMPTY) & (all_pri < INF_PRI)
-            rank = jnp.where(
-                valid_e,
-                gather_node(topo_rank, all_id, I32MAX - 1),
-                I32MAX,
-            )
+            # one packed [2, B, E] gather supplies expansion lengths AND
+            # topo ranks (each gather op costs ~0.15-0.8ms on this TPU
+            # regardless of payload; this was 2-3 ops per iteration)
+            g2 = exp_tbl[:, jnp.clip(all_id, 0, N_nodes - 1)]
+            seg_valid = all_id < EMPTY
+            all_len = jnp.where(seg_valid, g2[0], 0)
+            nc = Nm * K_out
+            if two_hop:
+                c2_len = all_len[:, Nm + nc :]
+                c2_outp = jnp.minimum(all_pri[:, Nm + nc :] + c2_len, INF_PRI)
+                all_outp = jnp.concatenate(
+                    [outp, cand_outp.reshape(B, -1), c2_outp], axis=1
+                )
+            else:
+                cand_outp = jnp.minimum(
+                    all_pri[:, Nm:] + all_len[:, Nm:], INF_PRI
+                )
+                all_outp = jnp.concatenate([outp, cand_outp], axis=1)
+            valid_e = seg_valid & (all_pri < INF_PRI)
+            rank = jnp.where(valid_e, g2[1], I32MAX)
             if _proj.startswith("sort"):
                 # dedup-by-min via ONE stable sort on the packed
                 # (rank, pri) key: same node => same rank => adjacent
@@ -514,9 +537,11 @@ def _banded_scan(
 
         # ---- per-slot tables ([Nm, B]; consumed in-scan via one one-hot
         # read per cell — serial [Cm, B] XLA gathers cost ~10ms EACH on
-        # this TPU, so none are used) --------------------------------------
-        lens = gather_node(node_len, ids, 0)  # [Nm, B]
-        starts_tab = gather_node(node_start, ids, 0)  # [Nm, B]
+        # this TPU, so none are used). node_tbl packs len/start/in-nbrs
+        # into ONE gather over the band ids. ---------------------------------
+        g_tbl = node_tbl[:, jnp.clip(ids, 0, N_nodes - 1)]  # [2+K_in, Nm, B]
+        lens = jnp.where(valid_slot, g_tbl[0], 0)  # [Nm, B]
+        starts_tab = jnp.where(valid_slot, g_tbl[1], 0)  # [Nm, B]
         c_used = jnp.sum(lens, axis=0)  # [B]
         cell_over = c_used > Cm
 
@@ -538,7 +563,7 @@ def _banded_scan(
         any_banded = jnp.zeros((Nm, B), bool)
         slot_pseudo = jnp.full((Nm, B), INF, jnp.int32)
         for k in range(K_in):
-            nb_k = gather_node(in_nbrs[:, k], ids, -1)  # [Nm, B]
+            nb_k = jnp.where(valid_slot, g_tbl[2 + k], -1)  # [Nm, B]
             nbv = (nb_k >= 0) & valid_slot
             eq_cur = (nb_k[:, None, :] == ids[None, :, :]) & nbv[:, None, :]
             in_cur_k = jnp.any(eq_cur, axis=1)
@@ -589,10 +614,11 @@ def _banded_scan(
                 axis=1,
             )  # [B, 64]
         w32 = jnp.uint32(1) << jax.lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
+        bits32 = jnp.take(bits_lut, rc)  # [B, 64] — 1 gather, not 5
         eq_lo_codes = []
         eq_hi_codes = []
         for g in range(5):
-            bits = jnp.take(match_table[:, g], rc)  # [B, 64]
+            bits = ((bits32 >> g) & 1) == 1  # [B, 64]
             eq_lo_codes.append(
                 jnp.sum(jnp.where(bits[:, :32], w32, 0), axis=1, dtype=jnp.uint32)
             )
