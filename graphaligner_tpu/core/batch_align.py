@@ -33,6 +33,7 @@ per-node minima — and doubles as a device/host differential check.
 
 from __future__ import annotations
 
+import os as _os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -1683,9 +1684,10 @@ class BandedBatchAligner:
             Nm=self.Nm,
             Cm=self.Cm,
             # pairwise rank-select dedup measured fastest (sort-based
-            # equal, 2-hop and a 12-iteration unroll both slower); the
-            # while_loop exits at the ~9-12 hops this workload needs
-            _proj="pairwise",
+            # equal; 2-hop was slower BEFORE the packed exp_tbl gather —
+            # GA_PROJ=pairwise2 re-tests it); the while_loop exits at the
+            # ~9-12 hops this workload needs
+            _proj=_os.environ.get("GA_PROJ", "pairwise"),
             seg=(seg_active, seg_first, seg_slen, seg_rnode, seg_rlen),
             mesh=self.mesh,
             mesh_axis=self.mesh_axis,
@@ -1760,7 +1762,7 @@ class BandedBatchAligner:
             S_max=S_max,
             Nm=self.Nm,
             Cm=self.Cm,
-            _proj="pairwise",
+            _proj=_os.environ.get("GA_PROJ", "pairwise"),
             seg=seg,
             mesh=self.mesh,
             mesh_axis=self.mesh_axis,

@@ -348,7 +348,7 @@ def _banded_scan(
         # correct distances never change the Bellman-Ford fixpoint (the
         # 1-hop edges alone already determine it), so the band SET — the
         # only thing bit-identity depends on — is unchanged.
-        two_hop = K_out <= 2 and _proj == "sort2"
+        two_hop = K_out <= 2 and _proj in ("sort2", "pairwise2")
         E = Nm + Nm * K_out + (Nm * K_out * K_out if two_hop else 0)
 
         def body(state):
