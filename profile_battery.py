@@ -113,6 +113,14 @@ def main():
         "sim", 10, "sim x10 chunk=1024 bb=512/256", results,
         chunk=1024, cell_bb=512, walk_bb=256,
     )
+    # two-hop projection re-test (halves while-loop trips; its extra
+    # gathers are now folded into the packed exp_tbl read)
+    os.environ["GA_PROJ"] = "pairwise2"
+    run_corpus(
+        "longsim", 10, "longsim x10 chunk=1024 bb=512/256 proj=2hop",
+        results, chunk=1024, cell_bb=512, walk_bb=256,
+    )
+    del os.environ["GA_PROJ"]
     results.append({"total_wall_s": round(time.time() - t_all, 1)})
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/battery.json"
     with open(out, "w") as f:
