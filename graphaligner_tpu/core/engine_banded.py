@@ -995,17 +995,32 @@ def _banded_scan(
         # (walk consolidation, rewind carries) reads only accepted
         # (active) steps, and the where() pair on the multi-MB cols
         # array cost ~2x its own write bandwidth per step
+        # per-step outputs packed: one [5, Nm, B] write + one [3, B]
+        # write per step instead of eight separate scan-output updates
+        # (the [3, B] stack IS the host control triple, saving its
+        # post-scan restack too)
         ys = (
-            jnp.where(am2, ids, EMPTY),
-            jnp.where(am2, nmin, INF),
-            jnp.where(am2, node_end, INF),
-            jnp.where(active, min_score, INF),
-            jnp.where(active, jnp.minimum(c_used, Cm), 0),
-            overflow & active,
+            jnp.stack(
+                [
+                    jnp.where(am2, ids, EMPTY),
+                    jnp.where(am2, nmin, INF),
+                    jnp.where(am2, node_end, INF),
+                    jnp.where(am2, lens, 0),
+                    jnp.where(am2, pred_tab, 0),
+                ],
+                axis=0,
+            ),
+            jnp.stack(
+                [
+                    jnp.where(active, min_score, INF),
+                    jnp.where(active, jnp.minimum(c_used, Cm), 0),
+                    (overflow & active).astype(jnp.int32),
+                ],
+                axis=0,
+            ),
+            # sends is cols field 5 — sliced out after the scan rather
+            # than written twice per step
             cols,
-            sends,
-            jnp.where(am2, lens, 0),
-            jnp.where(am2, pred_tab, 0),
         )
         return n_carry, ys
 
@@ -1040,18 +1055,16 @@ def _banded_scan(
     else:
         xs = (bandwidth, jax.lax.iota(jnp.int32, S_max))
     _, ys = jax.lax.scan(slice_step, carry0, xs)
-    (
-        band_ids,
-        node_min,
-        node_end,
-        min_score,
-        num_cells,
-        overflow,
-        cols,
-        sends,
-        lens_tab,
-        pred_tab,
-    ) = ys
+    nm_pack, ctrl_pack, cols = ys  # [S,5,Nm,B], [S,3,B], [S,7,Cm,B]
+    sends = cols[:, 5]
+    band_ids = nm_pack[:, 0]
+    node_min = nm_pack[:, 1]
+    node_end = nm_pack[:, 2]
+    lens_tab = nm_pack[:, 3]
+    pred_tab = nm_pack[:, 4]
+    min_score = ctrl_pack[:, 0]
+    num_cells = ctrl_pack[:, 1]
+    overflow = ctrl_pack[:, 2] != 0
     import jax.numpy as _jnp
 
     # packed per-slot score deltas for the host band-order replay: the
@@ -1073,9 +1086,7 @@ def _banded_scan(
         # packed control fetch: the ONLY array the host control replay
         # needs eagerly; one ~small transfer instead of five multi-MB ones
         # (the remote-TPU link moves ~10 MB/s with ~40ms per-fetch latency)
-        "control": _jnp.stack(
-            [min_score, num_cells, overflow.astype(_jnp.int32)], axis=1
-        ),  # [S, 3, B]
+        "control": ctrl_pack,  # [S, 3, B] (min_score, num_cells, overflow)
         # [S, 7, Cm, B]: vp_lo vp_hi vn_lo vn_hi sbs send e
         "cols": cols,
         "sends": sends,  # [S, Cm, B] per-cell last-row scores
