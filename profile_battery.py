@@ -88,7 +88,16 @@ def run_corpus(corpus, tile, label, results, chunk=None, cell_bb=None,
     }
     print(json.dumps(entry), flush=True)
     results.append(entry)
-    return ba, graph, reads, seeds
+    _flush(results)
+    return entry
+
+
+def _flush(results):
+    """Write partial results after every run so a watchdog timeout
+    mid-battery doesn't lose the completed measurements."""
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/battery.json"
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
 
 
 def main():
@@ -101,14 +110,21 @@ def main():
     # 256 — so the chunk width AND the kernel block widths must rise
     # together (Bb=512 is the VMEM ceiling at Cm=288). Each combo
     # compiles new signatures (~20-150s each on the remote toolchain).
-    run_corpus(
+    e512 = run_corpus(
         "longsim", 10, "longsim x10 chunk=512 bb=512/256", results,
         chunk=512, cell_bb=512, walk_bb=256,
     )
-    run_corpus(
+    e1024 = run_corpus(
         "longsim", 10, "longsim x10 chunk=1024 bb=512/256", results,
         chunk=1024, cell_bb=512, walk_bb=256,
     )
+    # if widening keeps paying (per-step fixed costs still dominate),
+    # probe one more doubling before the sweep moves on
+    if e1024["reads_per_s"] >= 1.05 * e512["reads_per_s"]:
+        run_corpus(
+            "longsim", 10, "longsim x10 chunk=2048 bb=512/256", results,
+            chunk=2048, cell_bb=512, walk_bb=256,
+        )
     run_corpus(
         "sim", 10, "sim x10 chunk=1024 bb=512/256", results,
         chunk=1024, cell_bb=512, walk_bb=256,
@@ -122,10 +138,8 @@ def main():
     )
     del os.environ["GA_PROJ"]
     results.append({"total_wall_s": round(time.time() - t_all, 1)})
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/battery.json"
-    with open(out, "w") as f:
-        json.dump(results, f, indent=1)
-    print("wrote", out, flush=True)
+    _flush(results)
+    print("battery complete", flush=True)
 
 
 if __name__ == "__main__":
