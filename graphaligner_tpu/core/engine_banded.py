@@ -1054,7 +1054,14 @@ def _banded_scan(
         )
     else:
         xs = (bandwidth, jax.lax.iota(jnp.int32, S_max))
-    _, ys = jax.lax.scan(slice_step, carry0, xs)
+    # GA_UNROLL: unroll factor for the slice scan. Per-iteration loop
+    # mechanics (condition sync, buffer bookkeeping) are part of the
+    # fixed per-slice cost that dominates this engine on TPU; unrolling
+    # amortizes them across k slices at the price of compile time.
+    import os as _os
+
+    _unroll = int(_os.environ.get("GA_UNROLL", 1))
+    _, ys = jax.lax.scan(slice_step, carry0, xs, unroll=max(1, _unroll))
     nm_pack, ctrl_pack, cols = ys  # [S,5,Nm,B], [S,3,B], [S,7,Cm,B]
     sends = cols[:, 5]
     band_ids = nm_pack[:, 0]

@@ -137,6 +137,14 @@ def main():
         results, chunk=1024, cell_bb=512, walk_bb=256,
     )
     del os.environ["GA_PROJ"]
+    # scan unroll: amortizes per-iteration loop mechanics (a slice of
+    # the fixed per-step cost) across 4 slices; compile time grows
+    os.environ["GA_UNROLL"] = "4"
+    run_corpus(
+        "longsim", 10, "longsim x10 chunk=1024 bb=512/256 unroll=4",
+        results, chunk=1024, cell_bb=512, walk_bb=256,
+    )
+    del os.environ["GA_UNROLL"]
     results.append({"total_wall_s": round(time.time() - t_all, 1)})
     _flush(results)
     print("battery complete", flush=True)
