@@ -448,6 +448,16 @@ class BandedBatchAligner:
             self.rev_pos = build_reverse_pos(graph)
         self._dev_args = None
         self._bigger = None
+        # projection mode: GA_PROJ=reach builds (once per graph, cached
+        # on the shared tables) the precomputed reach sets that collapse
+        # the per-slice relaxation loop to one gather + one sort; unfit
+        # graphs fall back to the iterative mode inside banded_scan
+        self._proj = _os.environ.get("GA_PROJ", "pairwise")
+        self._reach = None
+        if self._proj == "reach":
+            from .reach import ensure_reach
+
+            self._reach = ensure_reach(self.tables, ew - 1)
 
     def _next_tier(self):
         """The 2x-capacity retry aligner (sharing graph tables), or None
@@ -1685,9 +1695,11 @@ class BandedBatchAligner:
             Cm=self.Cm,
             # pairwise rank-select dedup measured fastest (sort-based
             # equal; 2-hop was slower BEFORE the packed exp_tbl gather —
-            # GA_PROJ=pairwise2 re-tests it); the while_loop exits at the
-            # ~9-12 hops this workload needs
-            _proj=_os.environ.get("GA_PROJ", "pairwise"),
+            # GA_PROJ=pairwise2 re-tests it; GA_PROJ=reach replaces the
+            # loop with a precomputed-table lookup); the while_loop exits
+            # at the ~9-12 hops this workload needs
+            _proj=self._proj,
+            reach=self._reach,
             seg=(seg_active, seg_first, seg_slen, seg_rnode, seg_rlen),
             mesh=self.mesh,
             mesh_axis=self.mesh_axis,
@@ -1762,7 +1774,8 @@ class BandedBatchAligner:
             S_max=S_max,
             Nm=self.Nm,
             Cm=self.Cm,
-            _proj=_os.environ.get("GA_PROJ", "pairwise"),
+            _proj=self._proj,
+            reach=self._reach,
             seg=seg,
             mesh=self.mesh,
             mesh_axis=self.mesh_axis,

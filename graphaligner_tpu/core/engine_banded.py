@@ -70,6 +70,11 @@ class BandedGraphTables:
     k_in: int
     k_out: int
     num_nodes: int
+    # lazily built by core.reach.ensure_reach (GA_PROJ=reach): [2, N, K]
+    # packed reach sets, the d_max they cover, or -2 when the graph is
+    # unfit for the precomputed-projection mode
+    reach_tbl: np.ndarray | None = None
+    reach_dmax: int = -1
 
     def device_args(self):
         return (
@@ -132,6 +137,7 @@ def _cell_bb():
 def banded_scan(
     *args, S_max, Nm, Cm, I_proj=32, P_fix=16, unroll=1, use_pallas=None,
     _ablate=None, _proj="sort2", seg=None, mesh=None, mesh_axis="dp",
+    reach=None,
 ):
     """seg: optional segmented-lane tables (active, first_slice,
     seq_len, reset_node, reset_len), each [S_max, B] int32 — when given,
@@ -164,6 +170,13 @@ def banded_scan(
     # works below ~2M digraph nodes
     if args[5].shape[0] >= (int(I32MAX) // PRI_RANGE) - 1:
         _proj = "pairwise"
+    # reach mode needs the precomputed table (core.reach.ensure_reach);
+    # without one (unfit graph, caller didn't build it) fall back to the
+    # iterative relaxation
+    if _proj == "reach" and reach is None:
+        _proj = "pairwise"
+    if _proj != "reach":
+        reach = None
     mesh_key = (
         (tuple(d.id for d in mesh.devices.flat), mesh_axis)
         if mesh is not None
@@ -193,17 +206,20 @@ def banded_scan(
             # on TPU backends) runs entirely on its device — zero
             # collectives, mirroring the reference's independent
             # per-thread reads (Aligner.cpp:290)
-            inner = _shard_banded(inner, mesh, mesh_axis, segmented)
+            inner = _shard_banded(
+                inner, mesh, mesh_axis, segmented, reach is not None
+            )
         fn = jax.jit(inner)
         _JIT_CACHE[key] = fn
     # match table passed as an argument, not closed over (see note below)
+    extra = (reach,) if reach is not None else ()
     if segmented:
-        return fn(*args, _MATCH_TABLE, *seg)
-    return fn(*args, _MATCH_TABLE)
+        return fn(*args, _MATCH_TABLE, *extra, *seg)
+    return fn(*args, _MATCH_TABLE, *extra)
 
 
 
-def _shard_banded(fn, mesh, axis, segmented):
+def _shard_banded(fn, mesh, axis, segmented, has_reach=False):
     '''Wrap a configured _banded_scan in shard_map over `mesh`: batch
     (last) axis sharded, graph tables + match table replicated.'''
     try:
@@ -219,6 +235,8 @@ def _shard_banded(fn, mesh, axis, segmented):
         + (P(axis),) * 5  # init carry
         + (rep,)  # match table
     )
+    if has_reach:
+        in_specs = in_specs + (rep,)  # reach table, replicated
     if segmented:
         in_specs = in_specs + (P(None, axis),) * 5
     out_specs = {
@@ -291,6 +309,11 @@ def _banded_scan(
 
     from ..ops import wordops
 
+    if _proj == "reach":
+        # packed [2, N, K] reach table rides as the first extra arg
+        # (see banded_scan); K=0 never happens (self entry always there)
+        reach_tbl, seg_tables = seg_tables[0], seg_tables[1:]
+
     B = read_codes.shape[0]
     K_in = in_nbrs.shape[1]
     K_out = out_nbrs.shape[1]
@@ -324,6 +347,61 @@ def _banded_scan(
         bits_lut = bits_lut | (match_table[:, _g].astype(jnp.int32) << _g)
 
     # ------------------------------------------------------ band projection
+    def project_band_reach(p_ids_bn, p_node_min_bn, p_node_end_bn, p_min, bw, act):
+        """Precomputed-reach projection (core/reach.py): band membership
+        is m s.t. some qualified seed s has outp0(s) + d*(s,m) <= ew,
+        and d* is in the table — so the whole relaxation collapses to
+        one gather + one dedup sort. Exactly equivalent to the iterative
+        fixpoint below (the per-hop outp <= ew constraint is monotone
+        along a path, so only the final inequality binds; see
+        core/reach.py). The overflow flag is the exact band-size test —
+        the iterative path can additionally overflow at its trip cap,
+        which only changes WHICH capacity tier computes the identical
+        values."""
+        ew = bw + WORD_SIZE  # [B]
+        valid_slot = p_ids_bn < EMPTY
+        qualified = valid_slot & (p_node_min_bn <= (p_min + bw)[:, None])
+        outp0 = jnp.where(
+            qualified & (p_node_end_bn <= (p_min + ew)[:, None]),
+            p_node_end_bn - p_min[:, None] + 1,
+            jnp.int32(INF_PRI),
+        )  # [B, Nm]
+        safe_ids = jnp.clip(p_ids_bn, 0, N_nodes - 1)
+        g = reach_tbl[:, safe_ids]  # [2, B, Nm, K]
+        rid, w1 = g[0], g[1]
+        rd = jnp.bitwise_and(w1, 1023)
+        is_self = rd == 1023  # d=1023 is the self marker (d_max <= 1022)
+        valid = (
+            qualified[:, :, None]
+            & (rid >= 0)
+            & (is_self | ((outp0[:, :, None] + rd) <= ew[:, None, None]))
+        )  # [B, Nm, K]
+        E = Nm * reach_tbl.shape[2]
+        # w1 = rank*1024 + d is already the sort key: ranks are unique
+        # per node, so same-node entries land adjacent and cross-node
+        # order is topo order (the band slot order)
+        key = jnp.where(valid, w1, I32MAX).reshape(B, E)
+        ids_f = jnp.where(valid, rid, EMPTY).reshape(B, E)
+        key_s, id_s = jax.lax.sort(
+            (key, ids_f), dimension=1, num_keys=1, is_stable=True
+        )
+        valid_s = key_s < I32MAX
+        first = (
+            jnp.concatenate(
+                [jnp.ones((B, 1), bool), id_s[:, 1:] != id_s[:, :-1]], axis=1
+            )
+            & valid_s
+        )
+        cnt = jnp.cumsum(first.astype(jnp.int32), axis=1)  # [B, E]
+        over = cnt[:, -1] > Nm
+        pos = jnp.where(first, cnt - 1, Nm)
+        oh = pos[:, :, None] == iota_nm[None, None, :]  # [B, E, Nm]
+        got = jnp.any(oh, axis=1)
+        n_ids = jnp.where(
+            got, jnp.sum(jnp.where(oh, id_s[:, :, None], 0), axis=1), EMPTY
+        )
+        return n_ids, over
+
     def project_band(p_ids_bn, p_node_min_bn, p_node_end_bn, p_min, bw, act):
         """projectForwardFromMinScore (GraphAligner.h:1110-1159) as a
         sort-deduped Bellman-Ford over node slots ([B, Nm] layout — the
@@ -529,7 +607,8 @@ def _banded_scan(
         if _ablate == "noproj":
             ids_bn, proj_over = p_ids.T, jnp.zeros(B, bool)
         else:
-            ids_bn, proj_over = project_band(
+            proj_fn = project_band_reach if _proj == "reach" else project_band
+            ids_bn, proj_over = proj_fn(
                 p_ids.T, p_node_min.T, p_node_end.T, p_min, bw, active
             )
         ids = ids_bn.T  # [Nm, B]

@@ -137,6 +137,18 @@ def main():
         results, chunk=1024, cell_bb=512, walk_bb=256,
     )
     del os.environ["GA_PROJ"]
+    # precomputed-reach projection: the relaxation loop (the largest
+    # fixed per-slice cost, ~40% of scan) collapses to 1 gather + 1 sort
+    os.environ["GA_PROJ"] = "reach"
+    run_corpus(
+        "longsim", 10, "longsim x10 chunk=1024 bb=512/256 proj=reach",
+        results, chunk=1024, cell_bb=512, walk_bb=256,
+    )
+    run_corpus(
+        "sim", 10, "sim x10 chunk=1024 bb=512/256 proj=reach",
+        results, chunk=1024, cell_bb=512, walk_bb=256,
+    )
+    del os.environ["GA_PROJ"]
     # scan unroll: amortizes per-iteration loop mechanics (a slice of
     # the fixed per-step cost) across 4 slices; compile time grows
     os.environ["GA_UNROLL"] = "4"
