@@ -56,12 +56,15 @@ def run_corpus(corpus, tile, label, results, chunk=None, cell_bb=None,
         align_reads_seeded_batch,
     )
 
-    if chunk is not None:
-        os.environ["GA_CHUNK"] = str(chunk)
-    if cell_bb is not None:
-        os.environ["GA_CELL_BB"] = str(cell_bb)
-    if walk_bb is not None:
-        os.environ["GA_WALK_BB"] = str(walk_bb)
+    for var, val in (
+        ("GA_CHUNK", chunk),
+        ("GA_CELL_BB", cell_bb),
+        ("GA_WALK_BB", walk_bb),
+    ):
+        if val is not None:
+            os.environ[var] = str(val)
+        else:
+            os.environ.pop(var, None)
     graph, reads, seeds = _load(corpus)
     reads, seeds = _tile(reads, seeds, tile)
     ba = BandedBatchAligner(graph, 35, 0)
@@ -101,63 +104,76 @@ def _flush(results):
 
 
 def main():
+    """Greedy keep-on-win sweep: apply one knob at a time to the current
+    best config, keep it if longsim reads/s improves >=3%. One TPU
+    session yields the best combined config (written as the final
+    'best_config' entry) instead of isolated single-knob A/Bs."""
     results = []
     t_all = time.time()
-    run_corpus("longsim", 10, "longsim x10 (1000 reads, 10kb)", results)
-    run_corpus("sim", 10, "sim x10 (short reads ~600bp)", results)
-    # width sweep: the cell kernel's sequential iteration count is
-    # lane-slices * Cm / Bb, and [Bb]-wide ops fill 2/8 VPU sublanes at
-    # 256 — so the chunk width AND the kernel block widths must rise
-    # together (Bb=512 is the VMEM ceiling at Cm=288). Each combo
-    # compiles new signatures (~20-150s each on the remote toolchain).
-    e512 = run_corpus(
-        "longsim", 10, "longsim x10 chunk=512 bb=512/256", results,
-        chunk=512, cell_bb=512, walk_bb=256,
-    )
-    e1024 = run_corpus(
-        "longsim", 10, "longsim x10 chunk=1024 bb=512/256", results,
-        chunk=1024, cell_bb=512, walk_bb=256,
-    )
-    # if widening keeps paying (per-step fixed costs still dominate),
-    # probe one more doubling before the sweep moves on
-    if e1024["reads_per_s"] >= 1.05 * e512["reads_per_s"]:
-        run_corpus(
-            "longsim", 10, "longsim x10 chunk=2048 bb=512/256", results,
-            chunk=2048, cell_bb=512, walk_bb=256,
+
+    best = {"chunk": None, "cell_bb": None, "walk_bb": None}
+    env_best = {}
+
+    def attempt(tag, env=None, **cfg):
+        for k, v in (env or {}).items():
+            os.environ[k] = v
+        try:
+            trial = dict(best, **cfg)
+            label = f"longsim x10 {tag}"
+            return run_corpus("longsim", 10, label, results, **trial), trial
+        finally:
+            for k in env or {}:
+                if k not in env_best:
+                    del os.environ[k]
+                else:
+                    os.environ[k] = env_best[k]
+
+    base, _ = attempt("base")
+    run_corpus("sim", 10, "sim x10 base", results)
+    cur = base["reads_per_s"]
+
+    # width ladder: per-step fixed costs amortize over the chunk width,
+    # and the kernel block widths must rise with it (Bb=512 is the VMEM
+    # ceiling at Cm=288; [256]-wide ops fill only 2/8 VPU sublanes)
+    for chunk in (512, 1024, 2048):
+        e, trial = attempt(
+            f"chunk={chunk} bb=512/256", chunk=chunk, cell_bb=512, walk_bb=256
         )
-    run_corpus(
-        "sim", 10, "sim x10 chunk=1024 bb=512/256", results,
-        chunk=1024, cell_bb=512, walk_bb=256,
+        if e["reads_per_s"] >= 1.03 * cur:
+            best, cur = trial, e["reads_per_s"]
+        else:
+            break
+
+    # projection: precomputed reach (relaxation loop -> 1 gather+1 sort),
+    # else two-hop relaxation (halves trip count)
+    for tag, env in (
+        ("proj=reach", {"GA_PROJ": "reach"}),
+        ("proj=2hop", {"GA_PROJ": "pairwise2"}),
+    ):
+        e, _ = attempt(tag, env=env)
+        if e["reads_per_s"] >= 1.03 * cur:
+            env_best.update(env)
+            os.environ.update(env)
+            cur = e["reads_per_s"]
+            break
+
+    # scan unroll: amortizes per-iteration loop mechanics across slices
+    e, _ = attempt("unroll=4", env={"GA_UNROLL": "4"})
+    if e["reads_per_s"] >= 1.03 * cur:
+        env_best["GA_UNROLL"] = "4"
+        os.environ["GA_UNROLL"] = "4"
+        cur = e["reads_per_s"]
+
+    # final best on both corpora (back-to-back, same process)
+    run_corpus("longsim", 10, "longsim x10 BEST", results, **best)
+    run_corpus("sim", 10, "sim x10 BEST", results, **best)
+    results.append(
+        {
+            "best_config": {**{k: v for k, v in best.items() if v}, **env_best},
+            "best_longsim_reads_per_s": cur,
+            "total_wall_s": round(time.time() - t_all, 1),
+        }
     )
-    # two-hop projection re-test (halves while-loop trips; its extra
-    # gathers are now folded into the packed exp_tbl read)
-    os.environ["GA_PROJ"] = "pairwise2"
-    run_corpus(
-        "longsim", 10, "longsim x10 chunk=1024 bb=512/256 proj=2hop",
-        results, chunk=1024, cell_bb=512, walk_bb=256,
-    )
-    del os.environ["GA_PROJ"]
-    # precomputed-reach projection: the relaxation loop (the largest
-    # fixed per-slice cost, ~40% of scan) collapses to 1 gather + 1 sort
-    os.environ["GA_PROJ"] = "reach"
-    run_corpus(
-        "longsim", 10, "longsim x10 chunk=1024 bb=512/256 proj=reach",
-        results, chunk=1024, cell_bb=512, walk_bb=256,
-    )
-    run_corpus(
-        "sim", 10, "sim x10 chunk=1024 bb=512/256 proj=reach",
-        results, chunk=1024, cell_bb=512, walk_bb=256,
-    )
-    del os.environ["GA_PROJ"]
-    # scan unroll: amortizes per-iteration loop mechanics (a slice of
-    # the fixed per-step cost) across 4 slices; compile time grows
-    os.environ["GA_UNROLL"] = "4"
-    run_corpus(
-        "longsim", 10, "longsim x10 chunk=1024 bb=512/256 unroll=4",
-        results, chunk=1024, cell_bb=512, walk_bb=256,
-    )
-    del os.environ["GA_UNROLL"]
-    results.append({"total_wall_s": round(time.time() - t_all, 1)})
     _flush(results)
     print("battery complete", flush=True)
 
