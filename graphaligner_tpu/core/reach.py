@@ -29,45 +29,27 @@ import numpy as np
 _SENT = np.int64(1) << 40  # distance sentinel during the fixpoint
 
 
-def build_reach_table(
-    node_len: np.ndarray,
-    out_nbrs: np.ndarray,
-    topo_rank: np.ndarray,
-    d_max: int,
-    k_cap: int = 64,
-    max_rounds: int = 256,
-) -> np.ndarray | None:
-    """All-nodes bounded-distance reach sets, or None when the graph is
-    unfit (a reach set exceeds k_cap-1 entries, the fixpoint fails to
-    converge in max_rounds, or ranks overflow the rank*1024+d packing).
-
-    Args:
-      node_len: [N] int32 node lengths in bp.
-      out_nbrs: [N, K_out] int32 out-neighbor ids, -1 padded.
-      topo_rank: [N] int32, a permutation (unique rank per node).
-      d_max: max intermediate-length-sum to keep (= max ew - 1).
-    """
-    assert 0 <= d_max <= 1022, d_max
-    N, _ = out_nbrs.shape
-    if N * 1024 + 1023 >= 2**31:
-        return None  # rank packing would overflow int32
+def _block_fixpoint(node_ids, node_len, out_nbrs, d_max, k_cap, max_rounds):
+    """Reach fixpoint for one block of source nodes (each node's list
+    evolves independently — only the static adjacency is global).
+    Returns (L_id, L_d) int64 arrays [n, R], or None when unfit."""
+    n = len(node_ids)
+    N = out_nbrs.shape[0]
     lens = node_len.astype(np.int64)
-    # state: per node the known reach list (id, min distance), -1 pad.
-    L_id = out_nbrs.astype(np.int64).copy()  # direct neighbors: d = 0
+    L_id = out_nbrs[node_ids].astype(np.int64).copy()  # direct nbrs: d=0
     L_d = np.where(L_id >= 0, np.int64(0), _SENT)
-    rows = np.arange(N, dtype=np.int64)[:, None]
-    converged = False
+    rows = np.arange(n, dtype=np.int64)[:, None]
     for _ in range(max_rounds):
         # expand every entry (m, d) one hop: neighbor w of m gets
         # d + len(m) (m becomes an intermediate) when still <= d_max
         safe = np.clip(L_id, 0, N - 1)
-        nb = out_nbrs[safe].astype(np.int64)  # [N, R, K_out]
-        nd = L_d + lens[safe]  # [N, R]
+        nb = out_nbrs[safe].astype(np.int64)  # [n, R, K_out]
+        nd = L_d + lens[safe]  # [n, R]
         valid = (L_id >= 0)[:, :, None] & (nb >= 0) & (nd[:, :, None] <= d_max)
-        cand_id = np.where(valid, nb, np.int64(-1)).reshape(N, -1)
+        cand_id = np.where(valid, nb, np.int64(-1)).reshape(n, -1)
         cand_d = np.where(
             valid, np.broadcast_to(nd[:, :, None], nb.shape), _SENT
-        ).reshape(N, -1)
+        ).reshape(n, -1)
         all_id = np.concatenate([L_id, cand_id], axis=1)
         all_d = np.concatenate([L_d, cand_d], axis=1)
         # dedup by min-d per id: one stable row-wise sort on (id, d)
@@ -79,7 +61,7 @@ def build_reach_table(
         d_s = np.take_along_axis(all_d, idx, axis=1)
         first = (
             np.concatenate(
-                [np.ones((N, 1), bool), id_s[:, 1:] != id_s[:, :-1]], axis=1
+                [np.ones((n, 1), bool), id_s[:, 1:] != id_s[:, :-1]], axis=1
             )
             & (id_s >= 0)
         )
@@ -89,19 +71,69 @@ def build_reach_table(
             return None
         r_new = max(int(sizes.max()), 1)
         pos = np.where(first, cnt - 1, r_new)  # r_new = discard column
-        new_id = np.full((N, r_new + 1), -1, np.int64)
-        new_d = np.full((N, r_new + 1), _SENT, np.int64)
+        new_id = np.full((n, r_new + 1), -1, np.int64)
+        new_d = np.full((n, r_new + 1), _SENT, np.int64)
         new_id[rows, pos] = np.where(first, id_s, np.int64(-1))
         new_d[rows, pos] = np.where(first, d_s, _SENT)
         new_id, new_d = new_id[:, :r_new], new_d[:, :r_new]
         if new_id.shape == L_id.shape and np.array_equal(
             new_id, L_id
         ) and np.array_equal(new_d, L_d):
-            converged = True
-            break
+            return L_id, L_d
         L_id, L_d = new_id, new_d
-    if not converged:
-        return None
+    return None  # no convergence
+
+
+def build_reach_table(
+    node_len: np.ndarray,
+    out_nbrs: np.ndarray,
+    topo_rank: np.ndarray,
+    d_max: int,
+    k_cap: int = 64,
+    max_rounds: int = 256,
+    block: int = 65536,
+) -> np.ndarray | None:
+    """All-nodes bounded-distance reach sets, or None when the graph is
+    unfit (a reach set exceeds k_cap-1 entries, the fixpoint fails to
+    converge in max_rounds, or ranks overflow the rank*1024+d packing).
+    Source nodes are processed in blocks so peak build memory stays flat
+    at any graph size (each node's fixpoint is independent).
+
+    Args:
+      node_len: [N] int32 node lengths in bp.
+      out_nbrs: [N, K_out] int32 out-neighbor ids, -1 padded.
+      topo_rank: [N] int32, a permutation (unique rank per node).
+      d_max: max intermediate-length-sum to keep (= max ew - 1).
+    """
+    assert 0 <= d_max <= 1022, d_max
+    N, _ = out_nbrs.shape
+    if N * 1024 + 1023 >= 2**31:
+        return None  # rank packing would overflow int32
+    # blocks are fully independent; a threaded build was measured SLOWER
+    # (numpy's int64 argsort holds the GIL / memory-bandwidth bound), so
+    # they run sequentially — the blocking is for flat peak memory
+    parts = []
+    for lo in range(0, N, block):
+        ids_blk = np.arange(lo, min(lo + block, N))
+        part = _block_fixpoint(
+            ids_blk, node_len, out_nbrs, d_max, k_cap, max_rounds
+        )
+        if part is None:
+            return None
+        parts.append(part)
+    R = max(p[0].shape[1] for p in parts)
+
+    def padded(a, fill):
+        return np.concatenate(
+            [
+                np.pad(x, ((0, 0), (0, R - x.shape[1])), constant_values=fill)
+                for x in a
+            ],
+            axis=0,
+        )
+
+    L_id = padded([p[0] for p in parts], -1)
+    L_d = padded([p[1] for p in parts], _SENT)
     # assemble [2, N, K] with the self entry first (d = 1023 marker)
     ids = np.concatenate([np.arange(N, dtype=np.int64)[:, None], L_id], axis=1)
     ds = np.concatenate(
@@ -124,7 +156,7 @@ def ensure_reach(tables, d_max: int, k_cap: int = 64):
         return tables.reach_tbl
     if cached_dmax == -2:  # previously determined unfit
         return None
-    max_n = int(os.environ.get("GA_REACH_MAXN", 200_000))
+    max_n = int(os.environ.get("GA_REACH_MAXN", 2_000_000))
     if tables.num_nodes > max_n:
         tables.reach_dmax = -2
         tables.reach_tbl = None
