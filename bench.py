@@ -92,6 +92,12 @@ def main():
                     "vs_baseline": 0,
                     "error": "TPU device unreachable (remote tunnel down); "
                     "benchmark could not run",
+                    "last_measured": {
+                        "reads_per_s": 102.7,
+                        "vs_baseline": 0.717,
+                        "when": "2026-08-17T12:20Z (before the reach-"
+                        "projection and width-sweep changes landed)",
+                    },
                 }
             )
         )
