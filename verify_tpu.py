@@ -71,6 +71,21 @@ def main():
         f"{FIX}/sim/bubbles.vg", f"{FIX}/sim/sim.fastq",
         f"{FIX}/sim/seeds.gam", f"{FIX}/sim/golden_b5_B20/out.gam", 5, 20,
     )
+    # candidate perf config: the reach projection must hold its goldens
+    # on the REAL chip (different XLA lowering than the CPU suite)
+    # before the battery's best_config can become the default
+    os.environ["GA_PROJ"] = "reach"
+    check_corpus(
+        "longsim b35 proj=reach",
+        f"{FIX}/longsim/graph.vg", f"{FIX}/longsim/reads.fastq",
+        f"{FIX}/longsim/seeds.gam", f"{FIX}/longsim/golden_b35.gam", 35, 0,
+    )
+    check_corpus(
+        "sim b35 proj=reach",
+        f"{FIX}/sim/bubbles.vg", f"{FIX}/sim/sim.fastq",
+        f"{FIX}/sim/seeds.gam", f"{FIX}/sim/golden_b35/out.gam", 35, 0,
+    )
+    del os.environ["GA_PROJ"]
     print("TPU golden verification: ALL BIT-IDENTICAL", flush=True)
 
 
