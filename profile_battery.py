@@ -110,6 +110,7 @@ def main():
     'best_config' entry) instead of isolated single-knob A/Bs."""
     results = []
     t_all = time.time()
+    tile = int(os.environ.get("GA_BATTERY_TILE", 10))  # smoke: =1 on CPU
 
     best = {"chunk": None, "cell_bb": None, "walk_bb": None}
     env_best = {}
@@ -120,7 +121,7 @@ def main():
         try:
             trial = dict(best, **cfg)
             label = f"longsim x10 {tag}"
-            return run_corpus("longsim", 10, label, results, **trial), trial
+            return run_corpus("longsim", tile, label, results, **trial), trial
         finally:
             for k in env or {}:
                 if k not in env_best:
@@ -128,8 +129,12 @@ def main():
                 else:
                     os.environ[k] = env_best[k]
 
+    # sim reads are 600bp/0.02ms-class: tile 25x more so the timed pass
+    # is long enough to resolve >=10k reads/s
+    sim_tile = tile * 25
+
     base, _ = attempt("base")
-    run_corpus("sim", 10, "sim x10 base", results)
+    run_corpus("sim", sim_tile, "sim base", results)
     cur = base["reads_per_s"]
 
     # width ladder: per-step fixed costs amortize over the chunk width,
@@ -165,8 +170,8 @@ def main():
         cur = e["reads_per_s"]
 
     # final best on both corpora (back-to-back, same process)
-    run_corpus("longsim", 10, "longsim x10 BEST", results, **best)
-    run_corpus("sim", 10, "sim x10 BEST", results, **best)
+    run_corpus("longsim", tile, "longsim x10 BEST", results, **best)
+    run_corpus("sim", sim_tile, "sim BEST", results, **best)
     results.append(
         {
             "best_config": {**{k: v for k, v in best.items() if v}, **env_best},
