@@ -424,13 +424,25 @@ class BandedBatchAligner:
             # slot capacity must stay 32
             Nm = 32
         if Cm is None:
-            # cell capacity auto-scaled to the bandwidth: accepted bands
+            # cell capacity auto-scaled to the bandwidth AND the graph's
+            # node-length profile: on short-node graphs accepted bands
             # stay under ~2.6x the expansion width in bp (longsim b=35:
-            # p99 217, max 255 cells at ew=99) and the cell kernel walks
-            # all Cm cells sequentially, so a tight first tier saves real
-            # time. Overflow retries on the 2x tier (get_traces).
+            # p99 217, max 255 cells at ew=99), but a band always holds
+            # WHOLE nodes, so long-node graphs (bluntified assemblies:
+            # p99 474bp) need ~ew + 2*p99 cells — starting below that
+            # makes every chunk burn capacity-retry scans (measured 2x
+            # end-to-end on the bluntified bench). The cell kernel walks
+            # all Cm cells sequentially, so the first tier stays as
+            # tight as the profile allows; p99 (not max) keeps one giant
+            # hub node from inflating it (the >=200k native slice path
+            # handles those), and 1792 is the ladder ceiling.
+            p99_len = float(np.percentile(np.asarray(graph.node_len), 99))
+            # start tier capped at 1152: wider bands go through the
+            # retry ladder / native giant-band path instead of slowing
+            # every slice of every read
+            need = min(1200.0, max(2.6 * ew, ew + 2.0 * p99_len))
             Cm = 288
-            while Cm < 2.6 * ew:
+            while Cm < need:
                 Cm *= 2
         self.Nm = Nm
         self.Cm = Cm
