@@ -126,34 +126,80 @@ def main():
             reads.append(r2)
             seeds[r2.seq_id] = base_seeds[r.seq_id]
 
-    aligner = BandedBatchAligner(graph, 35, 0)
-    # warm: one full pass so every jit signature (scan/walk shape bucket)
-    # is compiled — the TPU backend's executables don't persist across
-    # processes, and each signature costs ~20-40s to build
-    align_reads_seeded_batch(graph, aligner, reads, seeds)
-
+    t_bench0 = time.time()
     from graphaligner_tpu.io import native
 
-    t0 = time.time()
-    results = align_reads_seeded_batch(graph, aligner, reads, seeds)
-    # materialize wire-ready GAM payloads (the reference's per-read
-    # traceToAlignment is inside its timed align loop; match that work)
+    def timed_pass():
+        """Warm (compile every jit signature — the TPU backend's
+        executables don't persist across processes, ~20-40s each) then
+        one timed end-to-end pass under the CURRENT GA_* env. The timed
+        region includes wire-ready GAM payload production (the
+        reference's per-read traceToAlignment is inside its timed align
+        loop; match that work)."""
+        a = BandedBatchAligner(graph, 35, 0)
+        align_reads_seeded_batch(graph, a, reads, seeds)
+        t0 = time.time()
+        res = align_reads_seeded_batch(graph, a, reads, seeds)
+        rl_ = [res[r.seq_id] for r in reads]
+        enc = [
+            (r.seq_id, r.sequence, x.alignment)
+            for r, x in zip(reads, rl_)
+            if getattr(x.alignment, "_runs", None) is not None
+        ]
+        payloads = native.encode_alignments(
+            [n for n, _, _ in enc],
+            [s for _, s, _ in enc],
+            [a.score for _, _, a in enc],
+            [a.query_position for _, _, a in enc],
+            [a._runs for _, _, a in enc],
+            div2=True,
+        )
+        dt_ = time.time() - t0
+        assert payloads is not None and all(len(p) > 0 for p in payloads)
+        return dt_, res
+
+    dt, results = timed_pass()
+
+    # candidate config: the battery's best_config when available, else
+    # the expected winners (width amortizes per-step fixed costs; reach
+    # removes the projection loop). Measured back-to-back with the
+    # defaults IN THIS PROCESS (machine speed drifts +-30% across
+    # processes); the better pass is reported. Skipped when the default
+    # pass already ate the time budget (driver timeout safety).
+    candidate = {
+        "GA_CHUNK": "1024",
+        "GA_CELL_BB": "512",
+        "GA_WALK_BB": "256",
+        "GA_PROJ": "reach",
+    }
+    try:
+        with open("/tmp/battery.json") as f:
+            bc = json.load(f)[-1].get("best_config", None)
+        if bc:
+            candidate = {
+                ("GA_" + k.upper() if not k.startswith("GA_") else k): str(v)
+                for k, v in bc.items()
+            }
+    except Exception:
+        pass
+    config_used = "defaults"
+    overridden = [k for k in candidate if os.environ.get(k)]
+    if time.time() - t_bench0 < 900 and not overridden:
+        saved = {k: os.environ.get(k) for k in candidate}
+        os.environ.update(candidate)
+        try:
+            dt2, results2 = timed_pass()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+        if dt2 < dt:
+            dt, results = dt2, results2
+            config_used = " ".join(f"{k}={v}" for k, v in candidate.items())
+
     rl = [results[r.seq_id] for r in reads]
-    enc = [
-        (r.seq_id, r.sequence, x.alignment)
-        for r, x in zip(reads, rl)
-        if getattr(x.alignment, "_runs", None) is not None
-    ]
-    payloads = native.encode_alignments(
-        [n for n, _, _ in enc],
-        [s for _, s, _ in enc],
-        [a.score for _, _, a in enc],
-        [a.query_position for _, _, a in enc],
-        [a._runs for _, _, a in enc],
-        div2=True,
-    )
-    dt = time.time() - t0
-    assert payloads is not None and all(len(p) > 0 for p in payloads)
     ok = sum(1 for r in results.values() if not r.alignment_failed)
     assert ok == len(reads), f"only {ok}/{len(reads)} aligned"
 
@@ -181,6 +227,7 @@ def main():
                 / 1e6,
                 1,
             ),
+            "config": config_used,
             "device": str(jax.devices()[0]),
         },
     }
