@@ -57,11 +57,15 @@ def walk_moves(*args, K_in, W_cap=448, Bb=128):
     # (GA_WALK_BB is the TPU A/B sweep knob)
     Bb = int(os.environ.get("GA_WALK_BB", Bb))
     Bb = min(Bb, args[0].shape[3])
-    key = (shapes, K_in, W_cap, Bb)
+    unroll = int(os.environ.get("GA_WALK_UNROLL", 1))
+    key = (shapes, K_in, W_cap, Bb, unroll)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         fn = jax.jit(
-            functools.partial(walk_moves_kernel, K_in=K_in, W_cap=W_cap, Bb=Bb)
+            functools.partial(
+                walk_moves_kernel, K_in=K_in, W_cap=W_cap, Bb=Bb,
+                unroll=unroll,
+            )
         )
         _JIT_CACHE[key] = fn
     return fn(*args)
@@ -87,6 +91,7 @@ def walk_moves_kernel(
     K_in: int,
     W_cap: int = 448,
     Bb: int = 256,
+    unroll: int = 1,
 ):
     """Returns (moves [T_w, B], fail [1, B], state_out [16, B]) where
     T_w = ceil((K*112+512)/8); nibble t of the flattened stream is
@@ -435,12 +440,24 @@ def walk_moves_kernel(
 
         def loop_cond(state):
             it, still = state
-            return still & (it < W_cap) & (ctr_ref[0] < T_total - 1)
+            # entry ctr + unroll - 1 must stay <= T_total - 1 so every
+            # nibble write's widx is in range (no clamp collisions)
+            return still & (it < W_cap) & (ctr_ref[0] < T_total - (2 * unroll - 1))
 
         init_still = jnp.any(
             (st_ref[0, :] == q) & (st_ref[5, :] == 0) & (st_ref[6, :] == 0)
         )
-        jax.lax.while_loop(loop_cond, loop_body, (jnp.int32(0), init_still))
+        # GA_WALK_UNROLL: run the lockstep body `unroll` times per
+        # while_loop iteration (amortizes Mosaic's per-iteration loop
+        # overhead). Safe by construction: a body application after all
+        # lanes finished emits one all-PAD nibble round, which the
+        # decoder skips per lane like any idle step; and since the cond
+        # admits only ctr <= T_total-2, the k extra bodies write at
+        # t <= T_total-1 — every widx stays in range, no clamping.
+        body = loop_body
+        for _ in range(unroll - 1):
+            body = (lambda inner: (lambda st: inner(loop_body(st))))(body)
+        jax.lax.while_loop(loop_cond, body, (jnp.int32(0), init_still))
 
         @pl.when(s == K - 1)
         def _finish():
