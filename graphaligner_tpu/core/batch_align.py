@@ -465,6 +465,10 @@ class BandedBatchAligner:
         # the per-slice relaxation loop to one gather + one sort; unfit
         # graphs fall back to the iterative mode inside banded_scan
         self._proj = _os.environ.get("GA_PROJ", "pairwise")
+        # 8-bit tie-break deltas whenever every replay threshold fits
+        # (ew <= 254 covers all default bandwidths); halves the largest
+        # eager device->host transfer
+        self._tie8 = ew <= 254 and not _os.environ.get("GA_NO_TIE8")
         self._reach = None
         if self._proj == "reach":
             from .reach import ensure_reach
@@ -1712,6 +1716,7 @@ class BandedBatchAligner:
             # at the ~9-12 hops this workload needs
             _proj=self._proj,
             reach=self._reach,
+            tie8=self._tie8,
             seg=(seg_active, seg_first, seg_slen, seg_rnode, seg_rlen),
             mesh=self.mesh,
             mesh_axis=self.mesh_axis,
@@ -1788,6 +1793,7 @@ class BandedBatchAligner:
             Cm=self.Cm,
             _proj=self._proj,
             reach=self._reach,
+            tie8=self._tie8,
             seg=seg,
             mesh=self.mesh,
             mesh_axis=self.mesh_axis,
@@ -2048,10 +2054,16 @@ class BandedBatchAligner:
                 # (steps s0..s0+K of the packed lane)
                 lr = r0.lane_in_round
                 s0 = r0.step
-                t16 = r0.rnd.tie16[s0 : s0 + K, :, lr].astype(np.int64)
+                traw = r0.rnd.tie16[s0 : s0 + K, :, lr]
                 ms = r0.rnd.min_score[s0 : s0 + K, lr].astype(np.int64)[:, None]
-                tie[:, 1] = (t16 & 0xFFFF) + ms
-                tie[:, 2] = ((t16 >> 16) & 0xFFFF) + ms
+                if traw.dtype == np.int16:  # 8/8 packing
+                    t16 = traw.astype(np.int64) & 0xFFFF
+                    tie[:, 1] = (t16 & 0xFF) + ms
+                    tie[:, 2] = ((t16 >> 8) & 0xFF) + ms
+                else:  # 16/16 packing
+                    t16 = traw.astype(np.int64)
+                    tie[:, 1] = (t16 & 0xFFFF) + ms
+                    tie[:, 2] = ((t16 >> 16) & 0xFFFF) + ms
                 # subsampled band-id checks exist at absolute steps = 0 mod 8
                 k0 = (-s0) % 8
                 sub = r0.rnd.tie_ids_sub[
@@ -2061,10 +2073,16 @@ class BandedBatchAligner:
                 check[k0::8] = 1
             else:
                 for k, rec in enumerate(accepted):
-                    t16 = rec.rnd.tie16[rec.step, :, rec.lane_in_round]
+                    traw = rec.rnd.tie16[rec.step, :, rec.lane_in_round]
                     ms = rec.min_score
-                    tie[k, 1] = (t16 & 0xFFFF) + ms
-                    tie[k, 2] = ((t16 >> 16) & 0xFFFF) + ms
+                    if traw.dtype == np.int16:  # 8/8 packing
+                        t16 = traw.astype(np.int64) & 0xFFFF
+                        tie[k, 1] = (t16 & 0xFF) + ms
+                        tie[k, 2] = ((t16 >> 8) & 0xFF) + ms
+                    else:  # 16/16 packing
+                        t16 = traw.astype(np.int64)
+                        tie[k, 1] = (t16 & 0xFFFF) + ms
+                        tie[k, 2] = ((t16 >> 16) & 0xFFFF) + ms
                     if rec.step % 8 == 0:
                         tie[k, 0] = rec.rnd.tie_ids_sub[
                             rec.step // 8, :, rec.lane_in_round

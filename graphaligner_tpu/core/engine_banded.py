@@ -137,7 +137,7 @@ def _cell_bb():
 def banded_scan(
     *args, S_max, Nm, Cm, I_proj=32, P_fix=16, unroll=1, use_pallas=None,
     _ablate=None, _proj="sort2", seg=None, mesh=None, mesh_axis="dp",
-    reach=None,
+    reach=None, tie8=False,
 ):
     """seg: optional segmented-lane tables (active, first_slice,
     seq_len, reset_node, reset_len), each [S_max, B] int32 — when given,
@@ -183,7 +183,7 @@ def banded_scan(
         else None
     )
     key = (S_max, Nm, Cm, I_proj, P_fix, B, unroll, use_pallas, _ablate,
-           _proj, segmented, mesh_key, _cell_bb())
+           _proj, segmented, mesh_key, _cell_bb(), tie8)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         inner = functools.partial(
@@ -198,6 +198,7 @@ def banded_scan(
             _ablate=_ablate,
             _proj=_proj,
             segmented=segmented,
+            tie8=tie8,
         )
         if mesh is not None:
             # data-parallel multi-chip: the problem batch splits along
@@ -298,6 +299,7 @@ def _banded_scan(
     _ablate=None,
     _proj="sort2",
     segmented: bool = False,
+    tie8: bool = False,
 ):
     """All internal arrays are laid out with the batch as the LAST axis
     ([Nm, B], [Cm, B], [K, Cm, B]) and per-field (never a trailing
@@ -1156,12 +1158,22 @@ def _banded_scan(
     # packed per-slot score deltas for the host band-order replay: the
     # qualification/expansion thresholds live within ~bw+128 of the slice
     # minimum, so 16 bits per score (clamped) quarters the tie-break
-    # transfer vs full int32 node_min+node_end+ids
+    # transfer vs full int32 node_min+node_end+ids — and when the
+    # engine's max expansion width fits (ew <= 254, i.e. any default
+    # bandwidth), 8 bits each halve it again: values at/above the clamp
+    # only ever feed >=-threshold comparisons, never exact arithmetic
+    # (same argument as the 16-bit clamp)
     nmin_d = _jnp.clip(node_min - min_score[:, None, :], 0, 32767)
     nend_d = _jnp.clip(node_end - min_score[:, None, :], 0, 32767)
+    if tie8:
+        tie_pack = (
+            _jnp.minimum(nmin_d, 255) | (_jnp.minimum(nend_d, 255) << 8)
+        ).astype(_jnp.int16)
+    else:
+        tie_pack = nmin_d | (nend_d << 16)
 
     return {
-        "tie16": nmin_d | (nend_d << 16),  # [S, Nm, B]
+        "tie16": tie_pack,  # [S, Nm, B] int16 (8/8) or int32 (16/16)
         "ids_sub": band_ids[::8],  # [ceil(S/8), Nm, B] for the host check
         "band_ids": band_ids,  # [S, Nm, B]
         "node_min": node_min,  # [S, Nm, B]
