@@ -71,6 +71,41 @@ def test_reach_build_matches_dijkstra(src):
         assert tbl[1, n, 0] == tables.topo_rank[n] * 1024 + 1023
 
 
+def test_reach_build_fuzz_random_graphs():
+    """Random graphs (cycles, 0-length-ish short nodes, fan-out) vs the
+    brute-force Dijkstra metric."""
+    rng = np.random.default_rng(123)
+    for trial in range(8):
+        n = int(rng.integers(10, 120))
+        node_len = rng.integers(1, 40, n).astype(np.int32)
+        k_out = int(rng.integers(1, 4))
+        out_nbrs = np.full((n, k_out), -1, np.int32)
+        for i in range(n):
+            deg = int(rng.integers(0, k_out + 1))
+            if deg:
+                out_nbrs[i, :deg] = rng.choice(n, deg, replace=False)
+        topo_rank = rng.permutation(n).astype(np.int32)
+        d_max = int(rng.integers(10, 200))
+        tbl = build_reach_table(node_len, out_nbrs, topo_rank, d_max)
+        if tbl is None:  # unfit (reach set > cap): legal outcome
+            continue
+
+        class T:
+            pass
+
+        t = T()
+        t.node_len, t.out_nbrs = node_len, out_nbrs
+        for src in rng.choice(n, min(n, 12), replace=False):
+            got = {
+                int(i): int(w1 & 1023)
+                for i, w1 in zip(tbl[0, src], tbl[1, src])
+                if i >= 0 and (w1 & 1023) != 1023
+            }
+            assert got == _dijkstra_reach(t, int(src), d_max), (trial, src)
+            assert tbl[0, src, 0] == src  # self entry
+            assert tbl[1, src, 0] == topo_rank[src] * 1024 + 1023
+
+
 def _scan_outputs(graph, reads, seeds, proj, reach, mesh=None, nprob=6):
     tables = build_graph_tables(graph)
     Nm, Cm, bandwidth = 32, 384, 35
