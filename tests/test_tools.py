@@ -53,6 +53,19 @@ def test_bluntify_matches_reference(tmp_path):
     assert sorted(mine) == sorted(golden)
 
 
+def test_bluntify_unitig_chain_matches_reference(tmp_path):
+    """Assembly-unitig shape (120bp nodes, 63bp = k-1 overlaps, the
+    bench_configs.py config-3 generator): golden from the reference
+    Bluntify binary (which node-splits this shape; KEEP_LEFT-heavy)."""
+    out = tmp_path / "blunt.gfa"
+    bluntify.main(["64", str(SIM / "overlap_unitigs.gfa"), str(out)])
+    golden = (
+        (SIM / "bluntify_unitigs_golden.gfa").read_text().strip().split("\n")
+    )
+    mine = out.read_text().strip().split("\n")
+    assert sorted(mine) == sorted(golden)
+
+
 def test_pick_seed_hits(tmp_path):
     seeds = [
         vg.Alignment(name="r1", query_position=5,
