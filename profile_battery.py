@@ -140,13 +140,17 @@ def main():
     # width ladder: per-step fixed costs amortize over the chunk width,
     # and the kernel block widths must rise with it (Bb=512 is the VMEM
     # ceiling at Cm=288; [256]-wide ops fill only 2/8 VPU sublanes)
+    # 512 and 1024 run unconditionally (the rung changes chunk AND both
+    # block widths, so a losing 512 doesn't predict 1024); 2048 only if
+    # 1024 won its rung
     for chunk in (512, 1024, 2048):
         e, trial = attempt(
             f"chunk={chunk} bb=512/256", chunk=chunk, cell_bb=512, walk_bb=256
         )
-        if e["reads_per_s"] >= 1.03 * cur:
+        won = e["reads_per_s"] >= 1.03 * cur
+        if won:
             best, cur = trial, e["reads_per_s"]
-        else:
+        if chunk >= 1024 and not won:
             break
 
     # projection: precomputed reach (relaxation loop -> 1 gather+1 sort),
