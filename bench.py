@@ -188,7 +188,13 @@ def main():
         saved = {k: os.environ.get(k) for k in candidate}
         os.environ.update(candidate)
         try:
+            # a candidate failure (untested knob combo failing to
+            # compile, tunnel drop mid-pass) must not discard the valid
+            # default measurement — fall back to reporting it
             dt2, results2 = timed_pass()
+        except Exception as e:
+            print(f"candidate config pass failed: {e!r}", file=sys.stderr)
+            dt2, results2 = float("inf"), None
         finally:
             for k, v in saved.items():
                 if v is None:

@@ -108,6 +108,16 @@ def _decode_pool():
     return _DECODE_POOL
 
 
+def _decode_tie(traw, ms):
+    """Unpack device tie deltas (int16 = 8/8 packing, int32 = 16/16)
+    back to absolute (node_min, node_end) via the slice min."""
+    if traw.dtype == np.int16:
+        t16 = traw.astype(np.int64) & 0xFFFF
+        return (t16 & 0xFF) + ms, ((t16 >> 8) & 0xFF) + ms
+    t16 = traw.astype(np.int64)
+    return (t16 & 0xFFFF) + ms, ((t16 >> 16) & 0xFFFF) + ms
+
+
 def _corr_flags(cc, ffc, cur):
     obj = _FLAGS_POOL.get((cc, ffc, cur))
     if obj is None:
@@ -437,10 +447,12 @@ class BandedBatchAligner:
             # hub node from inflating it (the >=200k native slice path
             # handles those), and 1792 is the ladder ceiling.
             p99_len = float(np.percentile(np.asarray(graph.node_len), 99))
-            # start tier capped at 1152: wider bands go through the
-            # retry ladder / native giant-band path instead of slowing
-            # every slice of every read
-            need = min(1200.0, max(2.6 * ew, ew + 2.0 * p99_len))
+            # start tier capped at 1152 (the largest 288-doubling value
+            # below the ladder ceiling — a higher cap would make the
+            # loop land on 2304): wider bands go through the retry
+            # ladder / native giant-band path instead of slowing every
+            # slice of every read
+            need = min(1152.0, max(2.6 * ew, ew + 2.0 * p99_len))
             Cm = 288
             while Cm < need:
                 Cm *= 2
@@ -2056,14 +2068,7 @@ class BandedBatchAligner:
                 s0 = r0.step
                 traw = r0.rnd.tie16[s0 : s0 + K, :, lr]
                 ms = r0.rnd.min_score[s0 : s0 + K, lr].astype(np.int64)[:, None]
-                if traw.dtype == np.int16:  # 8/8 packing
-                    t16 = traw.astype(np.int64) & 0xFFFF
-                    tie[:, 1] = (t16 & 0xFF) + ms
-                    tie[:, 2] = ((t16 >> 8) & 0xFF) + ms
-                else:  # 16/16 packing
-                    t16 = traw.astype(np.int64)
-                    tie[:, 1] = (t16 & 0xFFFF) + ms
-                    tie[:, 2] = ((t16 >> 16) & 0xFFFF) + ms
+                tie[:, 1], tie[:, 2] = _decode_tie(traw, ms)
                 # subsampled band-id checks exist at absolute steps = 0 mod 8
                 k0 = (-s0) % 8
                 sub = r0.rnd.tie_ids_sub[
@@ -2074,15 +2079,7 @@ class BandedBatchAligner:
             else:
                 for k, rec in enumerate(accepted):
                     traw = rec.rnd.tie16[rec.step, :, rec.lane_in_round]
-                    ms = rec.min_score
-                    if traw.dtype == np.int16:  # 8/8 packing
-                        t16 = traw.astype(np.int64) & 0xFFFF
-                        tie[k, 1] = (t16 & 0xFF) + ms
-                        tie[k, 2] = ((t16 >> 8) & 0xFF) + ms
-                    else:  # 16/16 packing
-                        t16 = traw.astype(np.int64)
-                        tie[k, 1] = (t16 & 0xFFFF) + ms
-                        tie[k, 2] = ((t16 >> 16) & 0xFFFF) + ms
+                    tie[k, 1], tie[k, 2] = _decode_tie(traw, rec.min_score)
                     if rec.step % 8 == 0:
                         tie[k, 0] = rec.rnd.tie_ids_sub[
                             rec.step // 8, :, rec.lane_in_round

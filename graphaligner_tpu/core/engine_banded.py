@@ -164,6 +164,12 @@ def banded_scan(
         )
         use_pallas = backend_ok and Nm <= 32 and K_in <= 5
     segmented = seg is not None
+    # GA_UNROLL overrides the scan unroll factor; resolved HERE so it is
+    # part of the jit-cache key (an in-scan env read would be baked into
+    # whichever trace compiled first and silently ignored afterwards)
+    import os as _os_u
+
+    unroll = int(_os_u.environ.get("GA_UNROLL", unroll))
     # the pairwise dedup compares (rank, pri) as two int32 fields (same
     # node => same rank), so there is NO graph-size ceiling; the optional
     # sort-based dedup packs rank*1024+pri into one int32 key and only
@@ -1135,14 +1141,12 @@ def _banded_scan(
         )
     else:
         xs = (bandwidth, jax.lax.iota(jnp.int32, S_max))
-    # GA_UNROLL: unroll factor for the slice scan. Per-iteration loop
-    # mechanics (condition sync, buffer bookkeeping) are part of the
-    # fixed per-slice cost that dominates this engine on TPU; unrolling
-    # amortizes them across k slices at the price of compile time.
-    import os as _os
-
-    _unroll = int(_os.environ.get("GA_UNROLL", 1))
-    _, ys = jax.lax.scan(slice_step, carry0, xs, unroll=max(1, _unroll))
+    # unroll: slice-scan unroll factor (GA_UNROLL, resolved in the
+    # banded_scan wrapper so it participates in the jit-cache key).
+    # Per-iteration loop mechanics (condition sync, buffer bookkeeping)
+    # are part of the fixed per-slice cost that dominates this engine on
+    # TPU; unrolling amortizes them across k slices at compile-time cost.
+    _, ys = jax.lax.scan(slice_step, carry0, xs, unroll=max(1, unroll))
     nm_pack, ctrl_pack, cols = ys  # [S,5,Nm,B], [S,3,B], [S,7,Cm,B]
     sends = cols[:, 5]
     band_ids = nm_pack[:, 0]

@@ -441,8 +441,9 @@ def walk_moves_kernel(
         def loop_cond(state):
             it, still = state
             # entry ctr + unroll - 1 must stay <= T_total - 1 so every
-            # nibble write's widx is in range (no clamp collisions)
-            return still & (it < W_cap) & (ctr_ref[0] < T_total - (2 * unroll - 1))
+            # nibble write's widx is in range (no clamp collisions);
+            # unroll=1 reproduces the original ctr < T_total - 1 bound
+            return still & (it < W_cap) & (ctr_ref[0] < T_total - unroll)
 
         init_still = jnp.any(
             (st_ref[0, :] == q) & (st_ref[5, :] == 0) & (st_ref[6, :] == 0)
