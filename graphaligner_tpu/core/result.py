@@ -164,11 +164,15 @@ class PayloadAlignment:
     """A vg.Alignment held as its serialized wire payload (produced by
     the native encoder); decodes lazily if something needs the object."""
 
-    __slots__ = ("payload", "_obj")
+    __slots__ = ("payload", "_obj", "name")
 
-    def __init__(self, payload: bytes):
+    def __init__(self, payload: bytes, name: str | None = None):
         self.payload = payload
         self._obj = None
+        # `name` stays an UNSET slot when unknown, so attribute access
+        # falls through __getattr__ to the lazy decode
+        if name is not None:
+            self.name = name
 
     def _build(self) -> vg.Alignment:
         if self._obj is None:

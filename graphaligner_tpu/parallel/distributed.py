@@ -72,21 +72,87 @@ def barrier(name: str = "ga-shards") -> None:
     multihost_utils.sync_global_devices(name)
 
 
+def ordinal_path(alignment_file: str, process_index: int) -> str:
+    return shard_path(alignment_file, process_index) + ".ord"
+
+
+def write_shard_ordinals(
+    alignment_file: str,
+    process_index: int,
+    process_count: int,
+    shard_read_ids: list,
+    alignments: list,
+) -> str:
+    """Sidecar of GLOBAL traversal ordinals, one per shard message.
+
+    Reads with no seed hits or a failed alignment emit NO message
+    (Aligner.cpp:124-148 analog), so a positional round-robin interleave
+    cannot reconstruct the single-process output order — the merge
+    k-way-merges payloads by these ordinals instead. Alignments are
+    produced in shard traversal order, so matching names in order
+    recovers each message's shard position j; the global ordinal is
+    process_index + j * process_count (the strided split)."""
+    path = ordinal_path(alignment_file, process_index)
+    j = 0
+    lines = []
+    for a in alignments:
+        name = a.name
+        while j < len(shard_read_ids) and shard_read_ids[j] != name:
+            j += 1
+        if j >= len(shard_read_ids):
+            raise RuntimeError(
+                f"alignment {name!r} not found in shard read order"
+            )
+        lines.append(str(process_index + j * process_count))
+        j += 1
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + ("\n" if lines else ""))
+    return path
+
+
 def merge_shards(alignment_file: str, process_count: int) -> int:
     """Merge per-host GAM shards into the final file (host 0, after
-    barrier()) as a STREAM: raw message payloads are re-framed without
-    protobuf decode/encode (decoding every alignment made host 0 the
-    pangenome-scale bottleneck), and shards are interleaved round-robin
-    to undo the strided read split, so the merged bytes equal a
-    single-process run's output exactly. Returns the alignment count."""
-    per_shard = []
-    for i in range(process_count):
-        with open(shard_path(alignment_file, i), "rb") as f:
-            per_shard.append(list(stream.iter_messages(f.read())))
-    merged = []
-    for j in range(max(len(s) for s in per_shard) if per_shard else 0):
-        for s in per_shard:
-            if j < len(s):
-                merged.append(s[j])
-    stream.write_payloads(alignment_file, merged)
-    return len(merged)
+    barrier()) as a STREAM: raw message payloads are k-way merged by
+    global read ordinal (see write_shard_ordinals) without protobuf
+    decode/encode, reading each shard incrementally and compressing the
+    output incrementally — peak memory is O(process_count), not corpus
+    size, and the merged bytes equal a single-process run's output
+    exactly. Returns the alignment count.
+
+    Shards written without ordinal sidecars (direct write_host_shard
+    users) fall back to a round-robin interleave, which is only correct
+    when every read emitted exactly one message."""
+    import heapq
+
+    have_ord = all(
+        os.path.exists(ordinal_path(alignment_file, i))
+        for i in range(process_count)
+    )
+    if not have_ord:
+        per_shard = []
+        for i in range(process_count):
+            with open(shard_path(alignment_file, i), "rb") as f:
+                per_shard.append(list(stream.iter_messages(f.read())))
+        merged = []
+        for j in range(max(len(s) for s in per_shard) if per_shard else 0):
+            for s in per_shard:
+                if j < len(s):
+                    merged.append(s[j])
+        stream.write_payloads(alignment_file, merged)
+        return len(merged)
+
+    def shard_stream(i):
+        with open(ordinal_path(alignment_file, i)) as of:
+            for line, payload in zip(
+                of, stream.iter_payloads_file(shard_path(alignment_file, i))
+            ):
+                yield int(line), payload
+
+    n = 0
+    with stream.PayloadStreamWriter(alignment_file) as w:
+        for _, payload in heapq.merge(
+            *[shard_stream(i) for i in range(process_count)]
+        ):
+            w.write(payload)
+            n += 1
+    return n

@@ -61,7 +61,7 @@ def _finalize_output_alignment(alignment):
             div2=True,
         )
         if payloads is not None:
-            return PayloadAlignment(payloads[0])
+            return PayloadAlignment(payloads[0], name=alignment.name)
     replace_digraph_node_ids(alignment)
     return alignment
 
@@ -90,10 +90,22 @@ def align_reads(params: AlignerParams, *args, **kwargs) -> list:
     _align_reads_impl (see its docstring)."""
     process_index = kwargs.get("process_index")
     process_count = kwargs.get("process_count")
-    out = _align_reads_impl(params, *args, **kwargs)
+    shard_info: dict = {}
+    out = _align_reads_impl(params, *args, _shard_info=shard_info, **kwargs)
     if process_count is not None and process_count > 1:
         from ..parallel import distributed as _dist
 
+        if params.alignment_file:
+            # ordinal sidecar: reads with no seeds / failed alignments
+            # emit no message, so the merge must order by global read
+            # ordinal, not by shard position
+            _dist.write_shard_ordinals(
+                params.alignment_file,
+                process_index,
+                process_count,
+                shard_info.get("ids", []),
+                out,
+            )
         _dist.barrier()
         if process_index == 0 and params.alignment_file:
             n = _dist.merge_shards(params.alignment_file, process_count)
@@ -111,6 +123,7 @@ def _align_reads_impl(
     mesh_axis: str = "none",
     process_index: int | None = None,
     process_count: int | None = None,
+    _shard_info: dict | None = None,
 ) -> list:
     """Align all reads; returns the list of output vg Alignments.
 
@@ -148,6 +161,9 @@ def _align_reads_impl(
         shard = _dist.shard_reads_for_host(
             traversal, process_index, process_count
         )
+        if _shard_info is not None:
+            # shard read ids in TRAVERSAL order, for the ordinal sidecar
+            _shard_info["ids"] = [f.seq_id for f in shard]
         fastqs = list(reversed(shard))
         log(f"process {process_index}/{process_count}: {len(fastqs)} reads")
     log(f"{len(fastqs)} reads")
@@ -177,7 +193,11 @@ def _align_reads_impl(
         except Exception:
             # the reference isolates failures per read (Aligner.cpp:124-148);
             # if the batched pipeline dies wholesale, recover through the
-            # per-read host path instead of losing the run
+            # per-read host path instead of losing the run —
+            # UNLESS GA_NO_FALLBACK=1 (bench/CI fail-loud mode): a run
+            # that silently completes 100x slower must not look green
+            if os.environ.get("GA_NO_FALLBACK") == "1":
+                raise
             log("batched device pipeline failed (exception!); "
                 "falling back to the per-read host path")
             traceback.print_exc(file=sys.stderr)

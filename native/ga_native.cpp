@@ -14,6 +14,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <functional>
 #include <queue>
 #include <string>
 #include <tuple>
@@ -53,9 +54,11 @@ uint8_t* ga_gunzip(const uint8_t* data, int64_t len, int64_t* out_len) {
     }
     zs.next_out = out + total;
     zs.avail_out = (uInt)(cap - total);
+    uInt room = zs.avail_out;
     int rc = inflate(&zs, Z_NO_FLUSH);
-    total = cap - zs.avail_out - 0;
-    total = zs.total_out;
+    // accumulate bytes produced by THIS call: zs.total_out resets on
+    // inflateReset2, so it cannot be used across concatenated members
+    total += room - zs.avail_out;
     if (rc == Z_STREAM_END) {
       if (zs.avail_in == 0) break;
       // concatenated member: restart
@@ -665,12 +668,53 @@ struct SliceClosure {
     run_dial(d);
   }
 
-  void run_dial(int64_t* d) {
-    int64_t dmin = GA_BIG;
+  // Heap Dijkstra fallback for pathological value spreads: identical
+  // result to run_dial, no bucket-range assumption at all.
+  void run_heap(int64_t* d) {
+    typedef std::pair<int64_t, int32_t> Ent;
+    std::priority_queue<Ent, std::vector<Ent>, std::greater<Ent>> pq;
     for (int c = 0; c < C; c++)
+      if (d[c] < GA_BIG) pq.push(Ent(d[c], c));
+    while (!pq.empty()) {
+      Ent top = pq.top();
+      pq.pop();
+      int c = top.second;
+      if (top.first != d[c]) continue;  // stale entry
+      int64_t nd = d[c] + 1;
+      if (c + 1 < C && chain[c + 1] && nd < d[c + 1]) {
+        d[c + 1] = nd;
+        pq.push(Ent(nd, c + 1));
+      }
+      for (int64_t e = edge_ptr[c]; e < edge_ptr[c + 1]; e++) {
+        int t = edge_to[e];
+        if (nd < d[t]) {
+          d[t] = nd;
+          pq.push(Ent(nd, t));
+        }
+      }
+    }
+  }
+
+  void run_dial(int64_t* d) {
+    int64_t dmin = GA_BIG, dmax = -GA_BIG;
+    for (int c = 0; c < C; c++) {
+      if (d[c] >= GA_BIG) continue;
       if (d[c] < dmin) dmin = d[c];
+      if (d[c] > dmax) dmax = d[c];
+    }
     if (dmin >= GA_BIG) return;
-    int range = C + 2;
+    // The bucket range must cover the full FINITE input spread, not just
+    // C: DP scores routinely span more than C+1 (band-source seeds at
+    // seq_len+1 vs small old_end scores), and an out-of-range cell still
+    // has to propagate its value (dropping it silently diverges from the
+    // Python heap closure). Relaxations only emit <= dmax+1, so
+    // spread+2 buckets always suffice; absurd spreads take the heap.
+    int64_t spread = dmax - dmin + 2;
+    if (spread > (int64_t)(1 << 22)) {
+      run_heap(d);
+      return;
+    }
+    int range = (int)spread;
     if ((int)buckets.size() < range) buckets.resize(range);
     for (int c = 0; c < C; c++) {
       int64_t off = d[c] - dmin;

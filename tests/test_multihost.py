@@ -19,6 +19,7 @@ sys.path.insert(0, sys.argv[5])
 
 coordinator, pid, out = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 fixtures = sys.argv[4]
+fastq = sys.argv[6]
 # distributed bring-up MUST precede anything that initializes jax
 # backends (importing the package is fine; calling jax.devices() is not)
 from graphaligner_tpu.parallel import distributed
@@ -29,7 +30,7 @@ from graphaligner_tpu.core.params import AlignerParams
 from graphaligner_tpu.runtime.aligner import align_reads
 params = AlignerParams(
     graph_file=f"{fixtures}/sim/bubbles.vg",
-    fastq_file=f"{fixtures}/sim/sim.fastq",
+    fastq_file=fastq,
     alignment_file=out,
     seed_file=f"{fixtures}/sim/seeds.gam",
     initial_bandwidth=35,
@@ -51,6 +52,17 @@ def test_two_process_shard_align_merge(tmp_path):
     out = str(tmp_path / "merged.gam")
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER)
+    # insert reads with NO seed hits mid-corpus: they emit no GAM message,
+    # so the merge must order by global read ordinal (a positional
+    # round-robin interleave would shift every later read)
+    lines = (FIX / "sim" / "sim.fastq").read_text().splitlines()
+    recs = [lines[i : i + 4] for i in range(0, len(lines), 4)]
+    noseed = ["@no_seed_read", "ACGT" * 40, "+", "!" * 160]
+    recs = recs[:3] + [noseed] + recs[3:7] + [
+        ["@no_seed_read2", "TTGCA" * 30, "+", "!" * 150]
+    ] + recs[7:]
+    fastq = tmp_path / "reads.fastq"
+    fastq.write_text("\n".join("\n".join(r) for r in recs) + "\n")
     coord = f"localhost:{_free_port()}"
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -62,7 +74,7 @@ def test_two_process_shard_align_merge(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), coord, str(pid), out, str(FIX),
-             str(REPO)],
+             str(REPO), str(fastq)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         )
         for pid in range(2)
@@ -83,7 +95,7 @@ def test_two_process_shard_align_merge(tmp_path):
     solo = str(tmp_path / "solo.gam")
     params = AlignerParams(
         graph_file=str(FIX / "sim" / "bubbles.vg"),
-        fastq_file=str(FIX / "sim" / "sim.fastq"),
+        fastq_file=str(fastq),
         alignment_file=solo,
         seed_file=str(FIX / "sim" / "seeds.gam"),
         initial_bandwidth=35,
