@@ -57,6 +57,15 @@ from .params import BACKTRACE_OVERRIDE_CUTOFF, WORD_SIZE
 from ..ops.packing import unpack_deltas_np
 
 
+# bandwidth-ramp rewind counter (bench telemetry: BASELINE config 4
+# exercises band-widening restarts; read via rewind_count())
+_REWIND_COUNT = 0
+
+
+def rewind_count() -> int:
+    return _REWIND_COUNT
+
+
 class _CorrFlags:
     """Interned (correct_from_correct, false_from_correct,
     currently_correct) triple: the only facts consumers of a FINISHED
@@ -250,6 +259,7 @@ class _Round:
         self.pred_tab_dev = pred_tab_dev
         self.cols_dev = cols_dev
         self.sends_dev = sends_dev
+        self.dropped = False  # long mode dropped the rewind-carry fields
         self._host: dict = {}
 
     def _lazy(self, name):
@@ -472,11 +482,14 @@ class BandedBatchAligner:
             self.rev_pos = build_reverse_pos(graph)
         self._dev_args = None
         self._bigger = None
-        # projection mode: GA_PROJ=reach builds (once per graph, cached
-        # on the shared tables) the precomputed reach sets that collapse
+        # projection mode: reach (the DEFAULT — measured faster on every
+        # corpus, 2x on longsim CPU) builds once per graph (cached on
+        # the shared tables) the precomputed reach sets that collapse
         # the per-slice relaxation loop to one gather + one sort; unfit
-        # graphs fall back to the iterative mode inside banded_scan
-        self._proj = _os.environ.get("GA_PROJ", "pairwise")
+        # graphs (reach set > 63, > 2^22-1 nodes) fall back to the
+        # iterative mode inside banded_scan. GA_PROJ=pairwise/sort2
+        # reverts to the iterative projection.
+        self._proj = _os.environ.get("GA_PROJ", "reach")
         # 8-bit tie-break deltas whenever every replay threshold fits
         # (ew <= 254 covers all default bandwidths); halves the largest
         # eager device->host transfer
@@ -595,13 +608,16 @@ class BandedBatchAligner:
                     # the round before THAT no longer feeds rewinds
                     self._chunk_rounds[-1].cols_dev = None
                     if len(self._chunk_rounds) >= 2:
+                        # these four fields are dropped TOGETHER: rewind
+                        # carries into this round are no longer serviceable
+                        # (see rnd.dropped check below)
                         self._chunk_rounds[-2].sends_dev = None
                         self._chunk_rounds[-2].node_min_dev = None
                         self._chunk_rounds[-2].node_end_dev = None
+                        self._chunk_rounds[-2].dropped = True
             rnd = self._finish_round(pend)
             pend = None
             if self._long_mode:
-                self._stash_round_boundary(rnd)
                 self._chunk_rounds.append(rnd)
             for pos, (i, start, _, _) in enumerate(requests):
                 lane = lanes[i]
@@ -622,13 +638,24 @@ class BandedBatchAligner:
                     if (
                         self._long_mode
                         and req[1] != "init"
-                        and req[1].rnd.sends_dev is None
+                        and getattr(req[1].rnd, "dropped", False)
                     ):
                         # rewind carry into a round whose seeds were
                         # dropped (long mode keeps only the last round's)
                         lane.failed = True
                         continue
                     requests.append((i, req[0], req[1], req[2]))
+            if self._long_mode:
+                # stash each request's boundary columns AFTER the replay:
+                # when the HMM/ramp control cut a window mid-chain, the
+                # boundary the next window's walk needs is the last
+                # ACCEPTED step (= the carry record), not the last
+                # computed one.
+                overrides = {}
+                for (_, _, carry, _) in requests:
+                    if carry != "init" and carry.rnd is rnd:
+                        overrides[carry.lane_in_round] = carry.step
+                self._stash_round_boundary(rnd, overrides)
         for i, lane in enumerate(lanes):
             if not lane.done:
                 lane.failed = True
@@ -856,7 +883,10 @@ class BandedBatchAligner:
                     lanes[i].failed = True
             else:
                 for i, s in zip(slow_idx, slow):
-                    starts_map[i] = s
+                    if s is None:
+                        lanes[i].failed = True
+                    else:
+                        starts_map[i] = s
             walk_idx = [i for i in walk_idx if i in starts_map]
             if not walk_idx:
                 return ("done", results)
@@ -1164,6 +1194,16 @@ class BandedBatchAligner:
                 slot = int(np.searchsorted(offs2, cell, side="right")) - 1
                 off = cell - int(offs2[slot])
                 return (int(g.node_start[order2[slot]]) + off, slot, off)
+            hit_slots = np.searchsorted(offs2, hits, side="right") - 1
+            if (hit_slots == hit_slots[0]).all():
+                # all tied minima inside ONE node: whatever position the
+                # node takes in the collection order, the reference's
+                # winner is the node's last tied offset — no band-order
+                # replay needed (the common case on chain-like graphs)
+                cell = int(hits[-1])
+                slot = int(hit_slots[0])
+                off = cell - int(offs2[slot])
+                return (int(g.node_start[order2[slot]]) + off, slot, off)
             orders = self._band_orders(problems[i][1], accepted, lane.bandwidths[:keep])
             order = orders[-1]
             cell_of = {
@@ -1202,17 +1242,32 @@ class BandedBatchAligner:
             from ..io import native as _native
 
             have_native = _native.get_lib() is not None
-            for _, i in tie_idx:
+            live_ties = []
+            for w, i in tie_idx:
+                ok = True
                 for rec in lanes[i].accepted[: int(keeps[i])]:
                     if have_native:
                         rec.rnd.tie16
                         rec.rnd.tie_ids_sub
+                    elif (
+                        rec.rnd.node_min_dev is None
+                        and "tie" not in rec.rnd._host
+                    ):
+                        # long mode dropped this round's replay inputs and
+                        # there is no native tie16 path: the tie cannot be
+                        # resolved — fail just this lane (starts[w]=None)
+                        ok = False
+                        break
                     else:
                         rec.rnd.tie_data
+                if ok:
+                    live_ties.append((w, i))
+                else:
+                    lanes[i].failed = True
             resolved = list(
-                _decode_pool().map(resolve_tie, [i for _, i in tie_idx])
+                _decode_pool().map(resolve_tie, [i for _, i in live_ties])
             )
-            for (w, _), s in zip(tie_idx, resolved):
+            for (w, _), s in zip(live_ties, resolved):
                 starts[w] = s
         return starts
 
@@ -1418,19 +1473,30 @@ class BandedBatchAligner:
                     p_ = segs[k - 1]
                     by_prev.setdefault(id(p_[0]), (p_[0], []))[1].append((i, p_))
             for prnd, pairs in by_prev.values():
+                # boundary cols: locate each lane's segment end in the stash.
+                # A miss (e.g. a rewind retroactively moved an older round's
+                # segment end after its stash was taken) fails the lane to
+                # the retry ladder instead of crashing the whole chunk.
+                good_pairs = []
+                reqpos = []
+                for i, p_ in pairs:
+                    hits = np.nonzero(
+                        (prnd.last_lanes == p_[4])
+                        & (prnd.last_steps == p_[1] + p_[2] - 1)
+                    )[0]
+                    if len(hits) == 0:
+                        lanes[i].failed = True
+                        continue
+                    good_pairs.append((i, p_))
+                    reqpos.append(int(hits[0]))
+                if not good_pairs:
+                    continue
+                pairs = good_pairs
                 idxs = np.array([i for i, _ in pairs], np.int32)
                 plast = np.array(
                     [p_[1] + p_[2] - 1 for _, p_ in pairs], np.int32
                 )
                 plane = np.array([p_[4] for _, p_ in pairs], np.int32)
-                # boundary cols: locate each lane's request in the stash
-                reqpos = []
-                for _, p_ in pairs:
-                    hits = np.nonzero(
-                        (prnd.last_lanes == p_[4])
-                        & (prnd.last_steps == p_[1] + p_[2] - 1)
-                    )[0]
-                    reqpos.append(int(hits[0]))
                 reqpos = np.array(reqpos, np.int32)
                 pc = prnd.cols_last_dev[jnp.asarray(reqpos)]  # [n, 7, Cm]
                 prev0_cols = prev0_cols.at[:, :, jnp.asarray(idxs)].set(
@@ -1456,7 +1522,7 @@ class BandedBatchAligner:
             starters = [
                 i
                 for i, s_ in segs_here.items()
-                if s_[3] + s_[2] == int(keeps[i])
+                if s_[3] + s_[2] == int(keeps[i]) and not lanes[i].failed
             ]
             if starters:
                 fin_step = np.array(
@@ -1484,7 +1550,11 @@ class BandedBatchAligner:
                         lanes[i].failed = True
                     starts = []
                     starters = []
-                for i, (w0, slot0, off0) in zip(starters, starts):
+                for i, s0_ in zip(starters, starts):
+                    if s0_ is None:
+                        lanes[i].failed = True
+                        continue
+                    w0, slot0, off0 = s0_
                     sw[i] = w0
                     state[0, i] = int(keeps[i])
                     state[1, i] = 63
@@ -1754,14 +1824,45 @@ class BandedBatchAligner:
         )
         return (out, requests, req_meta, seg_start_mask, bw, scan_inputs)
 
+    @staticmethod
+    def _unpack_control(ctrl, init_min, seg_active, seg_rnode):
+        """Host mirror of the engine's packed-control reconstruction
+        (engine_banded: delta|cells<<7|ovf<<30 per (step, lane); keep in
+        sync): absolute minima = delta cumsum with resets at fresh-
+        problem segment starts and init_min as each lane's carry base.
+        Returns the [S, 3, B] (min_score, num_cells, overflow) triple."""
+        delta = (ctrl & 127).astype(np.int32)
+        cells = ((ctrl >> 7) & 0x7FFFFF).astype(np.int32)
+        ovf = ((ctrl >> 30) & 1).astype(np.int32)
+        S, B = ctrl.shape
+        cs = np.cumsum(delta, axis=0, dtype=np.int32)
+        reset = seg_rnode >= 0
+        idx = np.where(reset, np.arange(S, dtype=np.int32)[:, None], -1)
+        last_reset = np.maximum.accumulate(idx, axis=0)
+        prev_cs = np.concatenate(
+            [np.zeros((1, B), np.int32), cs[:-1]], axis=0
+        )
+        base = np.where(
+            last_reset >= 0,
+            -np.take_along_axis(prev_cs, np.maximum(last_reset, 0), axis=0),
+            init_min[None, :].astype(np.int32),
+        )
+        ms = np.where(seg_active == 1, cs + base, np.int32(INF))
+        return np.stack([ms, cells, ovf], axis=1)
+
     def _finish_round(self, pend) -> _Round:
         """Block on a dispatched round's control triple and wrap it."""
         out, requests, req_meta, seg_start_mask, bw, scan_inputs = pend
+        init_min_h = scan_inputs[6]
+        seg_active_h, _, _, seg_rnode_h, _ = scan_inputs[7]
         rnd = _Round(
             lanes=[r[0] for r in requests],
             start_slice=np.array([r[1] for r in requests], dtype=np.int32),
             num_steps=np.array([m[2] for m in req_meta], dtype=np.int32),
-            control=np.asarray(out["control"]),
+            control=self._unpack_control(
+                np.asarray(out["control"]), init_min_h, seg_active_h,
+                seg_rnode_h,
+            ),
             band_ids_dev=out["band_ids"],
             node_min_dev=out["node_min"],
             node_end_dev=out["node_end"],
@@ -1811,14 +1912,18 @@ class BandedBatchAligner:
             mesh_axis=self.mesh_axis,
         )
 
-    def _stash_round_boundary(self, rnd):
+    def _stash_round_boundary(self, rnd, overrides=None):
         """Before a long-mode round's columns are dropped: keep each
-        request's LAST computed slice columns (the below-window neighbor
-        the next window's walk needs) as a small [nreq, 7, Cm] gather."""
+        request's LAST ACCEPTED slice columns (the below-window neighbor
+        the next window's walk needs) as a small [nreq, 7, Cm] gather.
+        `overrides` maps lane_in_round -> accepted cut step for requests
+        the control replay cut mid-window (HMM break / ramp rewind)."""
         import jax.numpy as jnp
 
+        overrides = overrides or {}
         steps = np.array(
-            [s0 + n - 1 for (_, s0, n) in rnd.req_meta], dtype=np.int32
+            [overrides.get(l, s0 + n - 1) for (l, s0, n) in rnd.req_meta],
+            dtype=np.int32,
         )
         lanes_ = np.array([l for (l, _, _) in rnd.req_meta], dtype=np.int32)
         rnd.cols_last_dev = rnd.cols_dev[
@@ -1963,6 +2068,8 @@ class BandedBatchAligner:
                 and self.ramp_bandwidth > self.initial_bandwidth
             ):
                 # rewind (literal swap quirk, GraphAligner.h:2664-2666)
+                global _REWIND_COUNT
+                _REWIND_COUNT += 1
                 lane.ramp_until = lane.slice_i
                 lane.slice_i, lane.ramp_redo_index = (
                     lane.ramp_redo_index,
@@ -2231,6 +2338,14 @@ def align_reads_seeded_batch(
         fb_needed = (fw_i is not None and walked[fw_i] is None) or (
             bw_i is not None and walked[bw_i] is None
         )
+        if fb_needed and _os.environ.get("GA_NO_FALLBACK") == "1":
+            # bench/CI fail-loud mode: a host-oracle fallback silently
+            # masking a device regression as a slowdown is the failure
+            # mode CLAUDE.md warns about
+            raise RuntimeError(
+                f"GA_NO_FALLBACK: read {s['read'].seq_id!r} seed {seed} "
+                "fell back to the host oracle"
+            )
         if fb_needed:
             split = get_split_alignment(
                 graph,

@@ -255,7 +255,7 @@ def _shard_banded(fn, mesh, axis, segmented, has_reach=False):
         "min_score": P(None, axis),
         "num_cells": P(None, axis),
         "overflow": P(None, axis),
-        "control": P(None, None, axis),
+        "control": P(None, axis),
         "cols": P(None, None, None, axis),
         "sends": P(None, None, axis),
         "lens_tab": P(None, None, axis),
@@ -385,9 +385,11 @@ def _banded_scan(
             & (is_self | ((outp0[:, :, None] + rd) <= ew[:, None, None]))
         )  # [B, Nm, K]
         E = Nm * reach_tbl.shape[2]
-        # w1 = rank*1024 + d is already the sort key: ranks are unique
-        # per node, so same-node entries land adjacent and cross-node
-        # order is topo order (the band slot order)
+        # w1 = rank*1024 + d - 2^31 is already the sort key: the bias
+        # makes int32 order equal unsigned order of the packing, ranks
+        # are unique per node, so same-node entries land adjacent and
+        # cross-node order is topo order (the band slot order); I32MAX
+        # stays the strict maximum (reach.py caps N at 2^22-1)
         key = jnp.where(valid, w1, I32MAX).reshape(B, E)
         ids_f = jnp.where(valid, rid, EMPTY).reshape(B, E)
         key_s, id_s = jax.lax.sort(
@@ -1097,14 +1099,16 @@ def _banded_scan(
                 ],
                 axis=0,
             ),
-            jnp.stack(
-                [
-                    jnp.where(active, min_score, INF),
-                    jnp.where(active, jnp.minimum(c_used, Cm), 0),
-                    (overflow & active).astype(jnp.int32),
-                ],
-                axis=0,
-            ),
+            # ONE packed control word per (step, lane) — third of the
+            # eager host fetch bytes of the old [3, B] stack: min-score
+            # DELTA vs the (post-reset) previous slice in bits 0-6 (DP
+            # invariant: a slice's min moves <= 64; the replay asserts
+            # it), band cell count in bits 7-29, overflow in bit 30.
+            # Absolute minima are reconstructed from the delta stream
+            # post-scan (device) and in the host control replay.
+            jnp.where(active, jnp.clip(min_score - p_min, 0, 127), 0)
+            | (jnp.where(active, jnp.minimum(c_used, Cm), 0) << 7)
+            | ((overflow & active).astype(jnp.int32) << 30),
             # sends is cols field 5 — sliced out after the scan rather
             # than written twice per step
             cols,
@@ -1147,16 +1151,43 @@ def _banded_scan(
     # are part of the fixed per-slice cost that dominates this engine on
     # TPU; unrolling amortizes them across k slices at compile-time cost.
     _, ys = jax.lax.scan(slice_step, carry0, xs, unroll=max(1, unroll))
-    nm_pack, ctrl_pack, cols = ys  # [S,5,Nm,B], [S,3,B], [S,7,Cm,B]
+    nm_pack, ctrl_pack, cols = ys  # [S,5,Nm,B], [S,B] packed, [S,7,Cm,B]
     sends = cols[:, 5]
     band_ids = nm_pack[:, 0]
     node_min = nm_pack[:, 1]
     node_end = nm_pack[:, 2]
     lens_tab = nm_pack[:, 3]
     pred_tab = nm_pack[:, 4]
-    min_score = ctrl_pack[:, 0]
-    num_cells = ctrl_pack[:, 1]
-    overflow = ctrl_pack[:, 2] != 0
+    # unpack the control word and reconstruct absolute per-slice minima
+    # from the delta stream: cumulative sum with resets at segment
+    # starts (fresh problems restart from 0) and the dispatch carry
+    # (init_min) as each lane's base. Mirrored on the host in
+    # batch_align._unpack_control — keep the two in sync.
+    delta = ctrl_pack & 127
+    num_cells = (ctrl_pack >> 7) & 0x7FFFFF
+    overflow = ((ctrl_pack >> 30) & 1) != 0
+    cs = jnp.cumsum(delta, axis=0)
+    iota_sb = jax.lax.broadcasted_iota(jnp.int32, (S_max, B), 0)
+    if segmented:
+        reset = seg_rnode_t >= 0  # [S, B] fresh-problem starts
+        last_reset = jax.lax.cummax(
+            jnp.where(reset, iota_sb, -1), axis=0
+        )
+        prev_cs = jnp.concatenate(
+            [jnp.zeros((1, B), cs.dtype), cs[:-1]], axis=0
+        )
+        base = jnp.where(
+            last_reset >= 0,
+            -jnp.take_along_axis(
+                prev_cs, jnp.maximum(last_reset, 0), axis=0
+            ),
+            init_min[None, :],
+        )
+        active_m = seg_active_t == 1
+    else:
+        base = init_min[None, :]
+        active_m = iota_sb < num_steps[None, :]
+    min_score = jnp.where(active_m, cs + base, INF)
     import jax.numpy as _jnp
 
     # packed per-slot score deltas for the host band-order replay: the
@@ -1188,7 +1219,7 @@ def _banded_scan(
         # packed control fetch: the ONLY array the host control replay
         # needs eagerly; one ~small transfer instead of five multi-MB ones
         # (the remote-TPU link moves ~10 MB/s with ~40ms per-fetch latency)
-        "control": ctrl_pack,  # [S, 3, B] (min_score, num_cells, overflow)
+        "control": ctrl_pack,  # [S, B] (min_delta | cells<<7 | ovf<<30)
         # [S, 7, Cm, B]: vp_lo vp_hi vn_lo vn_hi sbs send e
         "cols": cols,
         "sends": sends,  # [S, Cm, B] per-cell last-row scores

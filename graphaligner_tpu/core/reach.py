@@ -15,11 +15,16 @@ relaxation loop (the largest fixed per-slice cost in the scan).
 
 Table layout [2, N, K] int32 (see build_reach_table):
   word0[n, k] = reachable node id (-1 pad); entry k=0 is n itself.
-  word1[n, k] = topo_rank(id) * 1024 + d, with d = 1023 reserved as the
-    self marker (real distances are <= d_max <= 1022).  word1 doubles as
-    the projection sort key: ranks are unique per node, so same-node
-    entries are adjacent after one stable sort and cross-node order is
-    topo order — exactly the band slot order the engine requires.
+  word1[n, k] = topo_rank(id) * 1024 + d - 2^31, with d = 1023 reserved
+    as the self marker (real distances are <= d_max <= 1022).  word1
+    doubles as the projection sort key: ranks are unique per node, so
+    same-node entries are adjacent after one stable sort and cross-node
+    order is topo order — exactly the band slot order the engine
+    requires.  The -2^31 bias makes int32 ascending order equal the
+    UNSIGNED order of rank*1024+d, so ranks use all 22 available bits
+    (~4.19M nodes — covers pangenome-scale graphs) instead of the 21 a
+    signed packing would allow; the bias is a multiple of 1024, so the
+    engine's `word1 & 1023` still extracts d directly.
 """
 
 from __future__ import annotations
@@ -107,8 +112,10 @@ def build_reach_table(
     """
     assert 0 <= d_max <= 1022, d_max
     N, _ = out_nbrs.shape
-    if N * 1024 + 1023 >= 2**31:
-        return None  # rank packing would overflow int32
+    # the biased packing holds rank*1024+d as a uint32; the max real key
+    # must also stay strictly below the engine's I32MAX invalid sentinel
+    if N > (1 << 22) - 1:
+        return None  # rank packing would overflow the 22 rank bits
     # blocks are fully independent; a threaded build was measured SLOWER
     # (numpy's int64 argsort holds the GIL / memory-bandwidth bound), so
     # they run sequentially — the blocking is for flat peak memory
@@ -141,7 +148,12 @@ def build_reach_table(
         axis=1,
     )
     rank = topo_rank.astype(np.int64)[np.clip(ids, 0, N - 1)]
-    word1 = np.where(ids >= 0, rank * 1024 + ds, np.int64(0))
+    # -2^31 bias: int32 ascending == unsigned ascending of rank*1024+d
+    # (see module docstring); invalid entries get int32 min (ignored —
+    # the engine masks on word0 >= 0 before using the key)
+    word1 = np.where(
+        ids >= 0, rank * 1024 + ds - (1 << 31), -(np.int64(1) << 31)
+    )
     return np.stack([ids, word1]).astype(np.int32)
 
 
@@ -156,7 +168,7 @@ def ensure_reach(tables, d_max: int, k_cap: int = 64):
         return tables.reach_tbl
     if cached_dmax == -2:  # previously determined unfit
         return None
-    max_n = int(os.environ.get("GA_REACH_MAXN", 2_000_000))
+    max_n = int(os.environ.get("GA_REACH_MAXN", 4_000_000))
     if tables.num_nodes > max_n:
         tables.reach_dmax = -2
         tables.reach_tbl = None

@@ -114,7 +114,7 @@ def shard_banded_scan(graph, mesh, Nm: int = 8, Cm: int = 64, axis: str = "dp"):
             "min_score": P(None, axis),
             "num_cells": P(None, axis),
             "overflow": P(None, axis),
-            "control": P(None, None, axis),
+            "control": P(None, axis),
             "cols": P(None, None, None, axis),
             "sends": P(None, None, axis),
             "lens_tab": P(None, None, axis),

@@ -48,8 +48,10 @@ def test_no_graph_size_ceiling():
     """The pairwise projection dedup compares (rank, pri) fields — no
     packed rank*1024+pri key, so graphs past the old ~2M digraph-node
     int32 ceiling are accepted (sort-based dedup is auto-disabled
-    there). Here: tables build for a synthetic 2.6M-node digraph and
-    a small alignment still works against a rank-offset graph."""
+    there). This test builds a SMALL (2k-segment) graph and offsets its
+    topo ranks past the packed-key overflow point to exercise exactly
+    the overflow arithmetic; the real multi-million-node scale runs in
+    bench_biggraph.py, not CI."""
     import numpy as np
 
     from graphaligner_tpu.core.engine_banded import (

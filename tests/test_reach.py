@@ -66,9 +66,11 @@ def test_reach_build_matches_dijkstra(src):
             if i >= 0 and (w1 & 1023) != 1023
         }
         assert got == _dijkstra_reach(tables, int(n), d_max), int(n)
-        # self entry first, rank packed correctly
+        # self entry first, rank packed correctly (with the -2^31 bias)
         assert tbl[0, n, 0] == n
-        assert tbl[1, n, 0] == tables.topo_rank[n] * 1024 + 1023
+        assert int(tbl[1, n, 0]) == (
+            int(tables.topo_rank[n]) * 1024 + 1023 - 2**31
+        )
 
 
 def test_reach_build_fuzz_random_graphs():
@@ -103,11 +105,15 @@ def test_reach_build_fuzz_random_graphs():
             }
             assert got == _dijkstra_reach(t, int(src), d_max), (trial, src)
             assert tbl[0, src, 0] == src  # self entry
-            assert tbl[1, src, 0] == topo_rank[src] * 1024 + 1023
+            assert int(tbl[1, src, 0]) == (
+                int(topo_rank[src]) * 1024 + 1023 - 2**31
+            )
 
 
-def _scan_outputs(graph, reads, seeds, proj, reach, mesh=None, nprob=6):
-    tables = build_graph_tables(graph)
+def _scan_outputs(graph, reads, seeds, proj, reach, mesh=None, nprob=6,
+                  tables=None):
+    if tables is None:
+        tables = build_graph_tables(graph)
     Nm, Cm, bandwidth = 32, 384, 35
     problems = []
     for r in reads[:nprob]:
@@ -161,6 +167,42 @@ def test_reach_scan_matches_iterative():
     assert reach is not None
     base = _scan_outputs(graph, reads, seeds, "pairwise", None)
     got = _scan_outputs(graph, reads, seeds, "reach", reach)
+    for k in base:
+        assert np.array_equal(np.asarray(base[k]), np.asarray(got[k])), k
+
+
+def test_reach_ranks_past_signed_packing_ceiling():
+    """Topo ranks above 2^21 (the OLD signed rank*1024 ceiling, ~2.1M
+    nodes) must still build and project correctly: the -2^31 bias makes
+    the packed keys straddle the int32 sign boundary while preserving
+    order (VERDICT r2 item 4 — pangenome graphs at 2.6M digraph nodes
+    need the reach projection most)."""
+    graph = load_alignment_graph(str(SIM / "bubbles.vg"))
+    reads = load_fastq(str(SIM / "sim.fastq"))
+    seeds = {}
+    for a in stream.read_messages(str(SIM / "seeds.gam"), vg.Alignment):
+        seeds.setdefault(a.name, []).append(
+            (
+                a.path.mapping[0].position.node_id,
+                a.query_position,
+                a.path.mapping[0].position.is_reverse,
+            )
+        )
+    tables = build_graph_tables(graph)
+    base = _scan_outputs(graph, reads, seeds, "pairwise", None, tables=tables)
+    # shift every rank so packed keys cross 2^31 mid-graph: order (the
+    # only thing the projection uses) is unchanged, so outputs must be
+    # identical to the unshifted pairwise run
+    shift = (1 << 21) - tables.num_nodes // 2
+    hi_rank = (tables.topo_rank.astype(np.int64) + shift).astype(np.int32)
+    tbl = build_reach_table(
+        tables.node_len, tables.out_nbrs, hi_rank, 35 + WORD_SIZE - 1
+    )
+    assert tbl is not None
+    lo = np.int64(tbl[1][tbl[0] >= 0]).min()
+    hi = np.int64(tbl[1][tbl[0] >= 0]).max()
+    assert lo < 0 < hi, (lo, hi)  # keys really straddle the sign boundary
+    got = _scan_outputs(graph, reads, seeds, "reach", tbl, tables=tables)
     for k in base:
         assert np.array_equal(np.asarray(base[k]), np.asarray(got[k])), k
 
