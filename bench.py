@@ -28,6 +28,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# fail-loud: a silent host-oracle fallback completes the bench 100x
+# slower instead of erroring — never report that as a measurement
+os.environ.setdefault("GA_NO_FALLBACK", "1")
+
 BASELINE_READS_PER_S = 232.0  # reference align-only, 1 CPU core (see above)
 LS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests/fixtures/longsim")
 REF_BIN = "/tmp/refbuild/bin/Aligner"

@@ -28,17 +28,21 @@ import numpy as np
 BASES = np.array(list("ACGT"))
 
 
-def _align(graph, reads, seed_map, label, extra):
+def _align(graph, reads, seed_map, label, extra, bandwidth=35, ramp=0):
+    import graphaligner_tpu.core.batch_align as _ba
     from graphaligner_tpu.core.batch_align import (
         BandedBatchAligner,
         align_reads_seeded_batch,
     )
 
-    aligner = BandedBatchAligner(graph, 35, 0)
+    aligner = BandedBatchAligner(graph, bandwidth, ramp)
     align_reads_seeded_batch(graph, aligner, reads, seed_map)  # warm
+    rw0 = _ba.rewind_count()
     t0 = time.time()
     results = align_reads_seeded_batch(graph, aligner, reads, seed_map)
     dt = time.time() - t0
+    if ramp > bandwidth:
+        extra = {**extra, "ramp_rewinds": _ba.rewind_count() - rw0}
     bp = sum(len(r.sequence) for r in reads)
     ok = sum(1 for r in results.values() if not r.alignment_failed)
     print(
@@ -155,9 +159,45 @@ def bench_bluntified_ont():
     )
 
 
+def bench_variation_ramping():
+    """Config 4: chr20-class variation graph (backbone + SNP bubbles)
+    with ONT reads carrying 25%-error BURSTS — each burst drives the
+    correctness HMM false, firing the bandwidth-ramp rewind path
+    (reference GraphAligner.h:2648-2719: rewind to the last confidently-
+    correct slice and recompute at the ramp bandwidth). b=5 B=20, the
+    golden-verified ramping config."""
+    from biggraph_util import make_big_graph, make_reads
+    from graphaligner_tpu.io.fastq import FastQ
+
+    rng = np.random.default_rng(29)
+    graph, backbone, seq = make_big_graph(150_000, seed=11)
+    base_reads = make_reads(seq, 100, 10_048, graph, backbone, err=0.03,
+                            seed=12)
+    reads, seed_map = [], {}
+    for name, s, node in base_reads:
+        sub = list(s)
+        # three 500bp bursts at 25% extra error, clear of the seed chunk
+        for _ in range(3):
+            b0 = int(rng.integers(1024, len(sub) - 512))
+            for p in rng.integers(b0, b0 + 512, 128):
+                sub[p] = str(rng.choice(BASES))
+        reads.append(FastQ(seq_id=name, sequence="".join(sub)))
+        seed_map[name] = [(node, 0, False)]
+    _align(
+        graph,
+        reads,
+        seed_map,
+        "variation graph + ONT bursts, ramping b=5 B=20 (BASELINE config 4)",
+        {"graph_nodes": graph.node_count},
+        bandwidth=5,
+        ramp=20,
+    )
+
+
 def main():
     bench_linear_chain()
     bench_bluntified_ont()
+    bench_variation_ramping()
 
 
 if __name__ == "__main__":

@@ -13,6 +13,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# fail-loud: a silent host-oracle fallback would "verify" the host path
+# instead of the device path these goldens exist to test
+os.environ.setdefault("GA_NO_FALLBACK", "1")
+
 FIX = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests/fixtures")
 INT32_MAX = 2**31 - 1
 
