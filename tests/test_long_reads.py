@@ -42,6 +42,45 @@ def test_windowed_long_mode_matches_normal_cpu():
         assert a.alignment.encode() == b.alignment.encode(), r.seq_id
 
 
+def test_long_mode_ramping_rewinds_match_normal():
+    """Bandwidth-ramp rewinds + HMM cuts MID-WINDOW (error bursts, b=5
+    B=20): the control replay cuts window chains at the last accepted
+    step, so the boundary stash must serve the ACCEPTED cut (not the
+    last computed step) or fail only that lane — either way the final
+    bytes must equal the unwindowed run (ADVICE r2 high-1 regression)."""
+    import graphaligner_tpu.core.batch_align as _ba
+
+    rng = np.random.default_rng(41)
+    graph = load_alignment_graph(f"{LS}/graph.vg")
+    base = load_fastq(f"{LS}/reads.fastq")[:5]
+    seeds = load_seed_hits(f"{LS}/seeds.gam", [r.seq_id for r in base])
+    reads = []
+    for r in base:
+        sub = list(r.sequence)
+        # two 300bp bursts at 25% extra error, past the first window
+        for b0 in (3400, 6200):
+            for p in rng.integers(b0, b0 + 300, 75):
+                sub[p] = "ACGT"[rng.integers(4)]
+        r2 = r.__class__(**{**r.__dict__, "sequence": "".join(sub)})
+        reads.append(r2)
+
+    normal = BandedBatchAligner(graph, 5, 20)
+    res_n = align_reads_seeded_batch(graph, normal, reads, seeds)
+
+    rw0 = _ba.rewind_count()
+    long_al = BandedBatchAligner(graph, 5, 20)
+    long_al.LONG_WINDOW = 48
+    res_l = align_reads_seeded_batch(graph, long_al, reads, seeds)
+    assert _ba.rewind_count() > rw0  # the scenario actually fired
+
+    for r in reads:
+        a, b = res_n[r.seq_id], res_l[r.seq_id]
+        assert a.alignment_failed == b.alignment_failed, r.seq_id
+        if a.alignment_failed:
+            continue
+        assert a.alignment.encode() == b.alignment.encode(), r.seq_id
+
+
 @pytest.mark.skipif(
     "cpu" in os.environ.get("JAX_PLATFORMS", "cpu"),
     reason="TPU-only: 100kb scans are minutes-slow on the CPU backend",
