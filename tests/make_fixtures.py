@@ -128,6 +128,25 @@ def main():
             + args,
             cwd=outdir,
         )
+
+    # PickSeedHits goldens (test_tools.py byte-identity)
+    run(
+        [
+            f"{REFBIN}/PickSeedHits",
+            f"{simdir}/pick_seeds_golden_cap2.gam",
+            "2",
+            f"{simdir}/seeds.gam",
+        ]
+    )
+    run(
+        [
+            f"{REFBIN}/PickSeedHits",
+            f"{simdir}/pick_seeds_golden_cap1_multi.gam",
+            "1",
+            f"{simdir}/seeds.gam",
+            f"{simdir}/seeds_rc.gam",
+        ]
+    )
     print("done")
 
 

@@ -88,6 +88,22 @@ def test_pick_seed_hits(tmp_path):
     assert all(a.name == "r1" for a in result)
 
 
+def test_pick_seed_hits_matches_reference_binary(tmp_path):
+    """Byte-identical to /tmp/refbuild/bin/PickSeedHits on the sim seed
+    corpus (goldens checked in): cap=2 single input, and cap=1 over two
+    input files (dedup across files + node_id<=1 drop exercised).
+    Reference: PickSeedHits.cpp (whole file, ~50 lines)."""
+    out = tmp_path / "o.gam"
+    pick_seed_hits.main([str(out), "2", str(SIM / "seeds.gam")])
+    assert out.read_bytes() == (SIM / "pick_seeds_golden_cap2.gam").read_bytes()
+    pick_seed_hits.main(
+        [str(out), "1", str(SIM / "seeds.gam"), str(SIM / "seeds_rc.gam")]
+    )
+    assert out.read_bytes() == (
+        SIM / "pick_seeds_golden_cap1_multi.gam"
+    ).read_bytes()
+
+
 def test_reverse_reads(tmp_path):
     src = tmp_path / "in.fastq"
     src.write_text("@r1\nACGTT\n+\n!!!#!\n")
