@@ -306,16 +306,18 @@ class _Round:
 
     @property
     def tie_ids_sub(self) -> np.ndarray:
-        """[ceil(S/8), Nm, B] band ids of every 8th slice, for the
-        subsampled host/device band differential check."""
+        """[ceil(S/8), B] band-row HASHES of every 8th slice (see
+        engine_banded band_hash_np), for the subsampled host/device
+        band differential check."""
         arr = self._host.get("ids_sub")
         if arr is None:
-            src = (
-                self.ids_sub_dev
-                if self.ids_sub_dev is not None
-                else self.band_ids_dev[::8]
-            )
-            arr = np.asarray(src)
+            if self.ids_sub_dev is not None:
+                arr = np.asarray(self.ids_sub_dev)
+            else:
+                from .engine_banded import band_hash_np
+
+                ids = np.asarray(self.band_ids_dev[::8])  # [S/8, Nm, B]
+                arr = band_hash_np(np.moveaxis(ids, 1, -1))
             self._host["ids_sub"] = arr
         return arr
 
@@ -2176,20 +2178,20 @@ class BandedBatchAligner:
                 traw = r0.rnd.tie16[s0 : s0 + K, :, lr]
                 ms = r0.rnd.min_score[s0 : s0 + K, lr].astype(np.int64)[:, None]
                 tie[:, 1], tie[:, 2] = _decode_tie(traw, ms)
-                # subsampled band-id checks exist at absolute steps = 0 mod 8
+                # subsampled band-HASH checks exist at absolute steps = 0 mod 8
                 k0 = (-s0) % 8
                 sub = r0.rnd.tie_ids_sub[
-                    (s0 + k0) // 8 : (s0 + K + 7) // 8, :, lr
+                    (s0 + k0) // 8 : (s0 + K + 7) // 8, lr
                 ]
-                tie[k0 : k0 + sub.shape[0] * 8 : 8, 0] = sub
+                tie[k0 : k0 + sub.shape[0] * 8 : 8, 0, 0] = sub
                 check[k0::8] = 1
             else:
                 for k, rec in enumerate(accepted):
                     traw = rec.rnd.tie16[rec.step, :, rec.lane_in_round]
                     tie[k, 1], tie[k, 2] = _decode_tie(traw, rec.min_score)
                     if rec.step % 8 == 0:
-                        tie[k, 0] = rec.rnd.tie_ids_sub[
-                            rec.step // 8, :, rec.lane_in_round
+                        tie[k, 0, 0] = rec.rnd.tie_ids_sub[
+                            rec.step // 8, rec.lane_in_round
                         ]
                         check[k] = 1
             orders = native.band_orders(

@@ -248,7 +248,7 @@ def _shard_banded(fn, mesh, axis, segmented, has_reach=False):
         in_specs = in_specs + (P(None, axis),) * 5
     out_specs = {
         "tie16": P(None, None, axis),
-        "ids_sub": P(None, None, axis),
+        "ids_sub": P(None, axis),
         "band_ids": P(None, None, axis),
         "node_min": P(None, None, axis),
         "node_end": P(None, None, axis),
@@ -1207,9 +1207,27 @@ def _banded_scan(
     else:
         tie_pack = nmin_d | (nend_d << 16)
 
+    # subsampled band-id HASH for the host/device differential check:
+    # one slot-weighted uint32 mix per (slice, lane) — 32x fewer eager
+    # bytes than shipping the Nm id rows, same divergence detection
+    # (2^-32 per-slice false-negative only matters when a real bug
+    # already exists). Definition shared with band_hash_np and the
+    # native checker (ga_native.cpp ga_band_orders) — keep all three
+    # in sync.
+    w_hash = ((jax.lax.iota(jnp.int32, Nm) + 1).astype(jnp.uint32)
+              * jnp.uint32(2654435761))
+    ids_hash = jax.lax.bitcast_convert_type(
+        _jnp.sum(
+            band_ids[::8].astype(jnp.uint32) * w_hash[None, :, None],
+            axis=1,
+            dtype=jnp.uint32,
+        ),
+        jnp.int32,
+    )
+
     return {
         "tie16": tie_pack,  # [S, Nm, B] int16 (8/8) or int32 (16/16)
-        "ids_sub": band_ids[::8],  # [ceil(S/8), Nm, B] for the host check
+        "ids_sub": ids_hash,  # [ceil(S/8), B] band-row hash (host check)
         "band_ids": band_ids,  # [S, Nm, B]
         "node_min": node_min,  # [S, Nm, B]
         "node_end": node_end,  # [S, Nm, B] last cell's last-row score
@@ -1226,6 +1244,21 @@ def _banded_scan(
         "lens_tab": lens_tab,  # [S, Nm, B] per-slot node lengths
         "pred_tab": pred_tab,  # [S, Nm, B] packed pred (slot|valid<<5)<<6k
     }
+
+
+def band_hash_np(ids_rows: np.ndarray) -> np.ndarray:
+    """Host mirror of the engine's band-row hash (see the ids_sub
+    construction above and ga_native.cpp's checker — keep in sync):
+    slot-weighted uint32 mix over the last axis ([..., Nm] topo-sorted,
+    EMPTY-padded band ids) -> int32 hashes."""
+    nm = ids_rows.shape[-1]
+    w = ((np.arange(nm, dtype=np.uint64) + 1) * np.uint64(2654435761)).astype(
+        np.uint32
+    )
+    h = np.asarray(
+        np.sum(ids_rows.astype(np.uint32) * w, axis=-1, dtype=np.uint32)
+    )
+    return h.view(np.int32)
 
 
 def make_seed_carry(tables: BandedGraphTables, start_nodes, Nm: int, Cm: int):

@@ -107,7 +107,7 @@ def shard_banded_scan(graph, mesh, Nm: int = 8, Cm: int = 64, axis: str = "dp"):
         )
         out_specs = {
             "tie16": P(None, None, axis),
-            "ids_sub": P(None, None, axis),
+            "ids_sub": P(None, axis),
             "band_ids": P(None, None, axis),
             "node_min": P(None, None, axis),
             "node_end": P(None, None, axis),

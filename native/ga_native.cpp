@@ -391,7 +391,9 @@ int64_t ga_decode_moves(const uint32_t* moves, int64_t n_words,
 // band set against the device band (topo-sorted slot rows).
 //
 // Inputs (one lane):
-//   band_ids/node_min/node_end: [K * Nm] device tie rows, slice-major
+//   band_ids/node_min/node_end: [K * Nm] device tie rows, slice-major.
+//     band_ids[k*Nm] holds the device band-row HASH for checked slices
+//     (engine_banded band_hash_np), not raw ids.
 //   min_scores:                 [K] per-slice minimum
 //   bandwidths:                 [K]
 //   out_ptr[N+1] int64, out_idx[E] int32, node_len[N] int64,
@@ -473,11 +475,17 @@ int ga_band_orders(const int32_t* band_ids, const int32_t* node_min,
                 return tr[ord[a]] < tr[ord[b]];
               });
     if (check_mask == nullptr || check_mask[k]) {
+      // device band-row HASH check (engine_banded ids_sub /
+      // band_hash_np — keep the mix in sync): slot-weighted uint32
+      // sum over the topo-sorted, EMPTY-padded band row
       const int32_t* brow = band_ids + k * Nm;
-      for (int64_t j = 0; j < n; j++) {
-        if (brow[j] != order[perm[j]]) return 1;
+      uint32_t h = 0;
+      for (int64_t j = 0; j < Nm; j++) {
+        uint32_t v = (j < n) ? (uint32_t)order[perm[j]]
+                             : (uint32_t)empty_sentinel;
+        h += v * (uint32_t)(2654435761u * (uint32_t)(j + 1));
       }
-      if (n < Nm && brow[n] != empty_sentinel) return 1;
+      if (h != (uint32_t)brow[0]) return 1;
     }
     // record + advance: scores of order[perm[j]] live in slot j
     for (int64_t j = 0; j < n; j++) orders_out[k * Nm + j] = order[j];

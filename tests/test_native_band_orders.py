@@ -48,6 +48,8 @@ def test_native_band_orders_match_oracle(graph_file, reads_file, seeds_file, idx
     slices = table.slices[1:]
     K, Nm = len(slices), 32
     assert K >= 1
+    from graphaligner_tpu.core.engine_banded import band_hash_np
+
     tie = np.zeros((K, 3, Nm), np.int32)
     for k, sl in enumerate(slices):
         oa = np.asarray(list(sl.nodes))
@@ -55,8 +57,9 @@ def test_native_band_orders_match_oracle(graph_file, reads_file, seeds_file, idx
         assert n <= Nm
         perm = np.argsort(topo[oa], kind="stable")
         srt = oa[perm]
-        tie[k, 0, :n] = srt
-        tie[k, 0, n:] = 2**31 - 1
+        row = np.full(Nm, 2**31 - 1, np.int64)
+        row[:n] = srt
+        tie[k, 0, 0] = band_hash_np(row)  # band-row hash (checked slices)
         tie[k, 1, :n] = [sl.node_min[int(x)] for x in srt]
         tie[k, 2, :n] = [sl.node_end_score(int(x)) for x in srt]
     orders = native.band_orders(
