@@ -12,6 +12,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <functional>
@@ -648,6 +649,8 @@ struct SliceClosure {
   const int64_t* edge_ptr;   // [C+1] CSR: cross-edges out of cell c
   const int32_t* edge_to;    // [edge_ptr[C]]
   std::vector<std::vector<int32_t>> buckets;
+  int64_t sweeps = 0;        // GA_SLICE_STATS telemetry
+  int64_t dial_calls = 0;
 
   int n_edges_total = 0;
   const int32_t* edge_from_flat = nullptr;  // parallel to edge_to (flat)
@@ -659,6 +662,7 @@ struct SliceClosure {
     // linear sweep is cache-friendly where the bucket queue thrashes.
     // Pathological cyclic bands fall back to the Dial queue.
     for (int iter = 0; iter < 80; iter++) {
+      sweeps++;
       for (int c = 1; c < C; c++)
         if (chain[c] && d[c - 1] + 1 < d[c]) d[c] = d[c - 1] + 1;
       bool changed = false;
@@ -704,6 +708,7 @@ struct SliceClosure {
   }
 
   void run_dial(int64_t* d) {
+    dial_calls++;
     int64_t dmin = GA_BIG, dmax = -GA_BIG;
     for (int c = 0; c < C; c++) {
       if (d[c] >= GA_BIG) continue;
@@ -834,6 +839,10 @@ int64_t ga_compute_slice(
     int64_t* out = rows + (size_t)r * C;
     for (int64_t c = 0; c < C; c++) out[c] = cur[c];
     prev = out;
+  }
+  if (getenv("GA_SLICE_STATS")) {
+    fprintf(stderr, "ga_compute_slice C=%lld sweeps=%lld dial=%lld\n",
+            (long long)C, (long long)cl.sweeps, (long long)cl.dial_calls);
   }
   return 1;
 }
