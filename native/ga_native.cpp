@@ -796,9 +796,11 @@ int64_t ga_compute_slice(
             ? 1
             : 0;
 
-  std::vector<int64_t> cur((size_t)C);
   const int64_t* prev = nullptr;
   for (int r = 0; r < 64; r++) {
+    // compute directly into the output row (one less 1.6MB copy per
+    // row on 200k-cell bands)
+    int64_t* cur = rows + (size_t)r * C;
     const uint8_t* mrow = match + (size_t)r * C;
     const int64_t* diag = (r == 0) ? sbs : prev;
     // vertical
@@ -835,10 +837,8 @@ int64_t ga_compute_slice(
         if (cand < cur[f]) cur[f] = cand;
       }
     }
-    cl.run(cur.data());
-    int64_t* out = rows + (size_t)r * C;
-    for (int64_t c = 0; c < C; c++) out[c] = cur[c];
-    prev = out;
+    cl.run(cur);
+    prev = cur;
   }
   if (getenv("GA_SLICE_STATS")) {
     fprintf(stderr, "ga_compute_slice C=%lld sweeps=%lld dial=%lld\n",
