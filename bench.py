@@ -102,6 +102,15 @@ def main():
                         "when": "2026-08-17T12:20Z (before the reach-"
                         "projection and width-sweep changes landed)",
                     },
+                    "cpu_proxy": {
+                        "reads_per_s": 9.36,
+                        "when": "2026-08-18 (round-3 defaults: reach "
+                        "projection, packed control, tie fast path)",
+                        "note": "longsim warm on the CPU backend, same "
+                        "pipeline — 1.7x the round-2 CPU number (5.4); "
+                        "the TPU-side wins (3x fewer eager transfer "
+                        "bytes) are not measurable on CPU",
+                    },
                 }
             )
         )
