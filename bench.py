@@ -179,25 +179,32 @@ def main():
     # defaults IN THIS PROCESS (machine speed drifts +-30% across
     # processes); the better pass is reported. Skipped when the default
     # pass already ate the time budget (driver timeout safety).
-    candidate = {
-        "GA_CHUNK": "1024",
+    # The 2026-08-18 battery winner (chunk=512, cell_bb=512, walk_bb=256,
+    # proj=reach) IS the promoted code default now, so there is no
+    # standing candidate; a battery best_config differing from those
+    # defaults re-enables the A/B.
+    DEFAULTS = {
+        "GA_CHUNK": "512",
         "GA_CELL_BB": "512",
         "GA_WALK_BB": "256",
         "GA_PROJ": "reach",
     }
+    candidate = None
     try:
         with open("/tmp/battery.json") as f:
             bc = json.load(f)[-1].get("best_config", None)
         if bc:
-            candidate = {
+            bc = {
                 ("GA_" + k.upper() if not k.startswith("GA_") else k): str(v)
                 for k, v in bc.items()
             }
+            if any(DEFAULTS.get(k) != v for k, v in bc.items()):
+                candidate = bc
     except Exception:
         pass
     config_used = "defaults"
-    overridden = [k for k in candidate if os.environ.get(k)]
-    if time.time() - t_bench0 < 900 and not overridden:
+    overridden = [k for k in (candidate or {}) if os.environ.get(k)]
+    if candidate and time.time() - t_bench0 < 900 and not overridden:
         saved = {k: os.environ.get(k) for k in candidate}
         os.environ.update(candidate)
         try:

@@ -687,7 +687,7 @@ class BandedBatchAligner:
                 out.append(None)  # host/device divergence → oracle fallback
         return out
 
-    def get_traces(self, problems, chunk_size: int = 256):
+    def get_traces(self, problems, chunk_size: int = 512):
         """problems → [(score, trace, table_slices) | None]: the
         (min score, forward-order trace, surviving slice count) triple of
         getTraceFromTable via the batched device walk, or None for lanes
@@ -706,7 +706,7 @@ class BandedBatchAligner:
                 results[i] = r
         return results
 
-    def get_traces_stream(self, problems, chunk_size: int = 256):
+    def get_traces_stream(self, problems, chunk_size: int = 512):
         """Generator form of get_traces: yields {problem_index: result}
         batches as chunks complete (shortest chunks first, so a read's
         backward piece is usually ready when its forward chunk lands and

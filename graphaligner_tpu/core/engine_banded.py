@@ -131,7 +131,18 @@ def _cell_bb():
     """Cell-kernel batch-block width (GA_CELL_BB overrides for sweeps)."""
     import os
 
-    return int(os.environ.get("GA_CELL_BB", 256))
+    # 512 promoted from the 2026-08-18 TPU battery (chunk=512 bb=512/256
+    # rung: 125 -> 144 reads/s longsim vs the 256/256/128 defaults)
+    return int(os.environ.get("GA_CELL_BB", 512))
+
+
+def _fit_bb(bb: int, B: int) -> int:
+    """Largest block width <= bb that divides B (Pallas grids tile the
+    batch into B/Bb blocks; B is bucket-padded but not to every bb)."""
+    bb = min(bb, B)
+    while B % bb:
+        bb //= 2
+    return bb
 
 
 def banded_scan(
@@ -828,8 +839,11 @@ def _banded_scan(
                     # vector ops fill 2 of 8 VPU sublanes at 256; wider
                     # blocks must still fit the ~15MB VMEM budget
                     # (4 meta [Cm,Bb] + cols out [7,Cm,Bb] + buf).
-                    # GA_CELL_BB is the TPU A/B sweep knob.
-                    Bb=min(_cell_bb(), B),
+                    # GA_CELL_BB is the TPU A/B sweep knob. The grid
+                    # tiles the batch into B/Bb blocks, so clamp to a
+                    # divisor of B (chunks are bucket-padded, not padded
+                    # to every requested block width).
+                    Bb=_fit_bb(_cell_bb(), B),
                 )
                 return cols, buf, nmin, pre_back_edge
 

@@ -44,7 +44,7 @@ INF = np.int32(1 << 20)
 _JIT_CACHE: dict = {}
 
 
-def walk_moves(*args, K_in, W_cap=448, Bb=128):
+def walk_moves(*args, K_in, W_cap=448, Bb=256):
     """jit-cached entry (one jit instance per shape signature — see the
     dispatch-fastpath note in core.engine_banded)."""
     import os
@@ -57,6 +57,11 @@ def walk_moves(*args, K_in, W_cap=448, Bb=128):
     # (GA_WALK_BB is the TPU A/B sweep knob)
     Bb = int(os.environ.get("GA_WALK_BB", Bb))
     Bb = min(Bb, args[0].shape[3])
+    # the grid tiles the batch into B/Bb blocks, so Bb must divide B
+    # (walk batches are padded to a bucket ladder but not to every
+    # requested block width — e.g. sim's B=384 with GA_WALK_BB=256)
+    while args[0].shape[3] % Bb:
+        Bb //= 2
     unroll = int(os.environ.get("GA_WALK_UNROLL", 1))
     key = (shapes, K_in, W_cap, Bb, unroll)
     fn = _JIT_CACHE.get(key)

@@ -132,6 +132,7 @@ def _align_reads_impl(
     and full-band (-i) through the batched exhaustive engine;
     backend='oracle' runs everything on the scalar host pipeline.
     """
+    os.makedirs(output_dir, exist_ok=True)
     dist = process_count is not None and process_count > 1
     final_alignment_file = params.alignment_file
     if dist:

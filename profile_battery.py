@@ -180,9 +180,8 @@ def main():
         os.environ["GA_WALK_UNROLL"] = "2"
         cur = e["reads_per_s"]
 
-    # final best on both corpora (back-to-back, same process)
-    run_corpus("longsim", tile, "longsim x10 BEST", results, **best)
-    run_corpus("sim", sim_tile, "sim BEST", results, **best)
+    # final best on both corpora (back-to-back, same process); flush the
+    # best_config FIRST so a crash in a confirmation run can't lose it
     results.append(
         {
             "best_config": {**{k: v for k, v in best.items() if v}, **env_best},
@@ -190,6 +189,11 @@ def main():
             "total_wall_s": round(time.time() - t_all, 1),
         }
     )
+    _flush(results)
+    run_corpus("longsim", tile, "longsim x10 BEST", results, **best)
+    run_corpus("sim", sim_tile, "sim BEST", results, **best)
+    results[-3:] = results[-2:] + results[-3:-2]  # keep best_config last
+    results[-1]["total_wall_s"] = round(time.time() - t_all, 1)
     _flush(results)
     print("battery complete", flush=True)
 

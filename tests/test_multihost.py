@@ -63,6 +63,7 @@ def test_two_process_shard_align_merge(tmp_path):
     ] + recs[7:]
     fastq = tmp_path / "reads.fastq"
     fastq.write_text("\n".join("\n".join(r) for r in recs) + "\n")
+    os.makedirs("/tmp/ga_dist", exist_ok=True)
     coord = f"localhost:{_free_port()}"
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
