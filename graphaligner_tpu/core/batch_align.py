@@ -103,6 +103,12 @@ def set_host_threads(n: int) -> None:
         old.shutdown(wait=False)
 
 
+# one jitted dynamic-slice for per-lane tie16 fetches (see
+# _Round.fetch_tie16_lanes); module-level so every round shares the
+# single compiled signature
+_TIE16_SLICE = None
+
+
 def _decode_pool():
     """Shared worker pool for host-side native decode/encode (the ctypes
     calls release the GIL). Size follows GA_THREADS or the CLI -t flag
@@ -138,23 +144,30 @@ def _corr_flags(cc, ffc, cur):
 
 
 _WALK_INPUTS_STEP = None
+_WALK_ROW_SLICE = None
+_WALK_ROW_GATHER = None
 
 
 def _walk_inputs_step_fn():
     """Jitted per-round gather of every walk lane's final-slice data PLUS
-    the device-side min_score_index.back() decision, packed into ONE
-    [B, Cm+Nm+6] array (one transfer per chunk on the remote link): the
-    per-cell last-row scores, the band node ids, and the start summary
-    (best, nmins, pos, slot, off, node). Unique-minimum lanes take the
-    device decision directly; ties fall back to the host band-order
-    replay over the fetched slice (reference: min_score_index.back(),
-    GraphAligner.h:2359-2366)."""
+    the device-side min_score_index.back() decision. Returns TWO arrays:
+    a [B, Cm+Nm] payload (per-cell last-row scores + band node ids) that
+    STAYS DEVICE-RESIDENT — only multi-node tie lanes ever fetch their
+    row — and a tiny [B, 10] start summary (best, nmins, pos, slot, off,
+    node, pos_l, slot_l, off_l, node_l) that resolves both unique minima
+    AND same-node ties on device: slot spans are contiguous cell ranges,
+    so first-min and last-min in the same slot means every tied minimum
+    is inside one node, and the reference winner is that node's LAST
+    tied offset regardless of banded-Tarjan collection order (reference:
+    min_score_index.back(), GraphAligner.h:2359-2366). Only multi-node
+    ties still need the host band-order replay."""
     global _WALK_INPUTS_STEP
     if _WALK_INPUTS_STEP is None:
         import jax
         import jax.numpy as jnp
 
-        def step(sends_dev, band_dev, lens_dev, node_start, packed, acc):
+        def step(sends_dev, band_dev, lens_dev, node_start, packed,
+                 acc_big, acc_st):
             steps = packed[0]
             lane = packed[1]
             mask = packed[2] != 0
@@ -166,26 +179,42 @@ def _walk_inputs_step_fn():
             offs = jnp.cumsum(lens, axis=1) - lens
             c_used = lens.sum(axis=1)
             big = jnp.int32(2**31 - 1)
-            cm_idx = jnp.arange(sends.shape[1], dtype=jnp.int32)[None, :]
+            Cm = sends.shape[1]
+            cm_idx = jnp.arange(Cm, dtype=jnp.int32)[None, :]
             masked = jnp.where(cm_idx < c_used[:, None], sends, big)
             best = masked.min(axis=1)
             is_min = masked == best[:, None]
             nmins = is_min.sum(axis=1).astype(jnp.int32)
+
+            def locate(cell):
+                slot = ((offs <= cell[:, None]) & valid).sum(axis=1).astype(
+                    jnp.int32
+                ) - 1
+                slot_c = jnp.clip(slot, 0, offs.shape[1] - 1)[:, None]
+                off = cell - jnp.take_along_axis(offs, slot_c, axis=1)[:, 0]
+                node = jnp.take_along_axis(band, slot_c, axis=1)[:, 0]
+                pos = (
+                    node_start[jnp.clip(node, 0, node_start.shape[0] - 1)]
+                    + off
+                )
+                return pos, slot, off, node
+
             first = jnp.argmax(is_min, axis=1).astype(jnp.int32)
-            slot = ((offs <= first[:, None]) & valid).sum(axis=1).astype(
+            last = (Cm - 1) - jnp.argmax(is_min[:, ::-1], axis=1).astype(
                 jnp.int32
-            ) - 1
-            slot_c = jnp.clip(slot, 0, offs.shape[1] - 1)[:, None]
-            off = first - jnp.take_along_axis(offs, slot_c, axis=1)[:, 0]
-            node = jnp.take_along_axis(band, slot_c, axis=1)[:, 0]
-            pos = (
-                node_start[jnp.clip(node, 0, node_start.shape[0] - 1)] + off
             )
-            st6 = jnp.stack(
-                [best, nmins, pos, slot, off, node], axis=1
+            pos, slot, off, node = locate(first)
+            pos_l, slot_l, off_l, node_l = locate(last)
+            st = jnp.stack(
+                [best, nmins, pos, slot, off, node,
+                 pos_l, slot_l, off_l, node_l],
+                axis=1,
             ).astype(jnp.int32)
-            src = jnp.concatenate([sends, band, st6], axis=1)
-            return jnp.where(mask[:, None], src, acc)
+            src = jnp.concatenate([sends, band], axis=1)
+            return (
+                jnp.where(mask[:, None], src, acc_big),
+                jnp.where(mask[:, None], st, acc_st),
+            )
 
         _WALK_INPUTS_STEP = jax.jit(step)
     return _WALK_INPUTS_STEP
@@ -246,6 +275,7 @@ class _Round:
     ):
         self.tie16_dev = tie16_dev
         self.ids_sub_dev = ids_sub_dev
+        self._tie16_cols: dict = {}
         self.lanes = lanes
         self.start_slice = start_slice
         self.num_steps = num_steps
@@ -303,6 +333,57 @@ class _Round:
         """[S, Nm, B] packed (node_min_delta | node_end_delta<<16) —
         the compressed band-replay scores (one quarter of tie_data)."""
         return self._lazy("tie16")
+
+    def tie16_lane(self, lane: int) -> np.ndarray:
+        """[S, Nm] tie deltas for ONE batch lane, served from the full
+        fetch when present, else from the subset cache (fetch_tie16_lanes),
+        else fetched on demand (long-mode stragglers)."""
+        full = self._host.get("tie16")
+        if full is not None:
+            return full[:, :, lane]
+        col = self._tie16_cols.get(lane)
+        if col is None:
+            self.fetch_tie16_lanes([lane])
+            col = self._tie16_cols[lane]
+        return col
+
+    def fetch_tie16_lanes(self, lanes) -> None:
+        """Materialize tie16 for a SUBSET of batch lanes. Band-order
+        replays are needed only for multi-node score ties (~35% of walk
+        lanes on longsim), so fetching per-lane columns instead of the
+        whole [S, Nm, B] round cuts the dominant remote-link transfer.
+        Per-lane dynamic slices keep ONE jit signature (a padded gather
+        would compile per subset-size bucket at 20-150s each on this
+        backend); the copies pipeline via copy_to_host_async. Above
+        ~30% of the round the full fetch is cheaper (fewer dispatches,
+        one transfer)."""
+        need = [l for l in lanes if l not in self._tie16_cols]
+        if not need or "tie16" in self._host or self.tie16_dev is None:
+            return
+        B = self.tie16_dev.shape[2]
+        if len(need) > 0.3 * B:
+            self._lazy("tie16")
+            return
+        import jax
+
+        global _TIE16_SLICE
+        if _TIE16_SLICE is None:
+            import jax.numpy as jnp
+
+            def _slice1(dev, i):
+                return jax.lax.dynamic_slice_in_dim(dev, i, 1, axis=2)
+
+            _TIE16_SLICE = jax.jit(_slice1)
+        devs = []
+        for l in need:
+            d = _TIE16_SLICE(self.tie16_dev, np.int32(l))
+            try:
+                d.copy_to_host_async()
+            except Exception:
+                pass
+            devs.append(d)
+        for l, d in zip(need, devs):
+            self._tie16_cols[l] = np.asarray(d)[:, :, 0]
 
     @property
     def tie_ids_sub(self) -> np.ndarray:
@@ -501,6 +582,10 @@ class BandedBatchAligner:
             from .reach import ensure_reach
 
             self._reach = ensure_reach(self.tables, ew - 1)
+        # observed multi-node tie rate (EMA over walk batches): gates the
+        # eager full-round tie16 prefetch vs per-lane subset fetches
+        # (see _dispatch_round / fetch_tie16_lanes). Starts eager.
+        self._mn_tie_rate = 1.0
 
     def _next_tier(self):
         """The 2x-capacity retry aligner (sharing graph tables), or None
@@ -857,22 +942,36 @@ class BandedBatchAligner:
                 results,
             )
             return ("done", results)
-        final_sends, final_band, st6 = self._gather_walk_inputs(lanes, keeps)
+        big_dev, st = self._gather_walk_inputs(lanes, keeps)
         starts_map: dict = {}
         slow_idx = []
         for i in walk_idx:
             rec_best = lanes[i].accepted[int(keeps[i]) - 1].min_score
-            if int(st6[i, 1]) == 1 and int(st6[i, 0]) == rec_best:
+            if int(st[i, 0]) != rec_best:
+                slow_idx.append(i)  # host/device min divergence
+            elif int(st[i, 1]) == 1:
                 # unique minimum: collection order is tie-breaking only,
                 # the device decision is exact
-                starts_map[i] = (int(st6[i, 2]), int(st6[i, 3]), int(st6[i, 4]))
+                starts_map[i] = (int(st[i, 2]), int(st[i, 3]), int(st[i, 4]))
+            elif int(st[i, 3]) == int(st[i, 7]):
+                # same-node tie, decided on device: all tied minima in
+                # one node -> winner is the node's last tied offset
+                starts_map[i] = (int(st[i, 6]), int(st[i, 7]), int(st[i, 8]))
             else:
                 slow_idx.append(i)
+        # EMA of the multi-node tie rate steers the eager-vs-subset tie16
+        # prefetch of FUTURE rounds (see _dispatch_round)
+        if walk_idx:
+            rate = len(slow_idx) / len(walk_idx)
+            self._mn_tie_rate = 0.5 * self._mn_tie_rate + 0.5 * rate
         if slow_idx:
-            # score ties (or a host/device min divergence): the reference
-            # picks the LAST minimum in banded-Tarjan collection order,
-            # which needs the host band-order replay over the fetched
-            # final slice
+            # multi-node score ties (or a host/device min divergence):
+            # the reference picks the LAST minimum in banded-Tarjan
+            # collection order, which needs the host band-order replay
+            # over the affected lanes' final slices (fetched row-wise)
+            final_sends, final_band = self._fetch_walk_rows(
+                big_dev, slow_idx, B
+            )
             try:
                 slow = self._walk_starts(
                     problems, lanes, keeps, slow_idx, final_sends, final_band
@@ -1029,7 +1128,7 @@ class BandedBatchAligner:
         )
         # whole-table walk = one window with base 0; tables grow a
         # leading pad slice (the below-window neighbor, unread at q==1)
-        moves_dev, fail_dev, _state = wm.walk_moves(
+        moves_dev, fail_dev, _state, used_dev = wm.walk_moves(
             _pad_lead(cols_tab, 0),
             _pad_lead(band_tab, int(EMPTY)),
             _pad_lead(lens_tab, 0),
@@ -1042,19 +1141,41 @@ class BandedBatchAligner:
             init_state,
             K_in=self.tables.k_in,
         )
-        for arr in (moves_dev, fail_dev):
+        # the moves budget (112/slice) is the worst case; real paths use
+        # ~60-75% of it, so prefetch only the expected-use prefix (the
+        # remote link is the walk path's bottleneck: the full array is
+        # ~9.4MB/chunk at 37MB/s) — collect falls back to the full
+        # buffer on the rare over-run (kernel reports the used count)
+        import os as _os
+
+        T_w = moves_dev.shape[0]
+        t_lo = int(_os.environ.get("GA_WALK_TLO", 88))
+        T_lo = min(T_w, (K_max * t_lo + 512 + 7) // 8)
+        lo_dev = moves_dev[:T_lo] if T_lo < T_w else moves_dev
+        for arr in (lo_dev, fail_dev, used_dev):
             if hasattr(arr, "copy_to_host_async"):
                 try:
                     arr.copy_to_host_async()
                 except Exception:
                     pass
-        return (moves_dev, fail_dev, lanes, keeps, walk_idx, sw, K_max)
+        return (
+            lo_dev, moves_dev, T_lo, used_dev, fail_dev, lanes, keeps,
+            walk_idx, sw, K_max,
+        )
 
     def _walk_moves_collect(self, mv, results):
         from ..io import native
 
-        moves_dev, fail_dev, lanes, keeps, walk_idx, sw, K_max = mv
-        moves = np.ascontiguousarray(np.asarray(moves_dev)).view(np.uint32)
+        (lo_dev, moves_dev, T_lo, used_dev, fail_dev, lanes, keeps,
+         walk_idx, sw, K_max) = mv
+        rows = int(np.asarray(used_dev).max()) // 8 + 1
+        if rows <= T_lo:
+            src = lo_dev
+        else:
+            # over-run: fetch the FULL buffer (already materialized on
+            # device — a tail slice would compile a fresh signature)
+            src = moves_dev
+        moves = np.ascontiguousarray(np.asarray(src)).view(np.uint32)
         fail = np.asarray(fail_dev)[0]
         t = self.tables
         node_start64 = np.ascontiguousarray(self.graph.node_start, dtype=np.int64)
@@ -1099,15 +1220,17 @@ class BandedBatchAligner:
             results[i] = (score, arr, int(keeps[i]), cells)
 
     def _gather_walk_inputs(self, lanes, keeps):
-        """One batched device gather + fetch of every walk lane's final
-        slice: per-cell last-row scores [B, Cm], band node ids [B, Nm],
-        and the device-side start decision [B, 6], packed into a single
-        transfer (per-lane fetches cost ~40ms each over the remote-TPU
-        link)."""
+        """Batched device gather of every walk lane's final slice. Only
+        the [B, 10] start summary is fetched (unique minima AND
+        same-node ties resolve from it directly); the multi-MB
+        [B, Cm+Nm] sends+band payload stays DEVICE-RESIDENT — multi-node
+        tie lanes fetch their rows via _fetch_walk_rows (the remote link
+        is the walk path's bottleneck)."""
         import jax.numpy as jnp
 
         B = len(lanes)
-        acc = jnp.zeros((B, self.Cm + self.Nm + 6), jnp.int32)
+        acc_big = jnp.zeros((B, self.Cm + self.Nm), jnp.int32)
+        acc_st = jnp.zeros((B, 10), jnp.int32)
         rounds = []
         for i, lane in enumerate(lanes):
             if not lane.failed and keeps[i] > 0:
@@ -1128,20 +1251,74 @@ class BandedBatchAligner:
                     lane_pos[i] = rec.lane_in_round
                     mask[i] = 1
             packed = np.stack([steps, lane_pos, mask])
-            acc = step_fn(
+            acc_big, acc_st = step_fn(
                 rnd.sends_dev,
                 rnd.band_ids_dev,
                 rnd.lens_tab_dev,
                 self.tables.node_start,
                 packed,
-                acc,
+                acc_big,
+                acc_st,
             )
-        out = np.asarray(acc)  # [B, Cm + Nm + 6]
-        return (
-            out[:, : self.Cm],
-            out[:, self.Cm : self.Cm + self.Nm],
-            out[:, self.Cm + self.Nm :],
-        )
+        return acc_big, np.asarray(acc_st)  # device [B, Cm+Nm], host [B, 10]
+
+    def _fetch_walk_rows(self, big_dev, idxs, B):
+        """Fetch the final-slice (sends, band) rows for a SUBSET of walk
+        lanes from the device-resident payload; returns dense
+        (final_sends [B, Cm], final_band [B, Nm]) host arrays with only
+        those rows filled. Per-lane dynamic slices keep ONE jit
+        signature; above ~30% of the batch the full fetch is cheaper."""
+        final_sends = np.zeros((B, self.Cm), np.int32)
+        final_band = np.full((B, self.Nm), int(EMPTY), np.int32)
+        if not idxs:
+            return final_sends, final_band
+        if len(idxs) > 0.5 * B:
+            out = np.asarray(big_dev)
+            final_sends[:] = out[:, : self.Cm]
+            final_band[:] = out[:, self.Cm :]
+            return final_sends, final_band
+        import jax
+
+        if len(idxs) > 48:
+            # mid-size subset: ONE device gather with the index count
+            # padded to a power-of-two bucket (per-lane slices would be
+            # hundreds of dispatches; an unbucketed gather would compile
+            # a fresh signature per subset size at 20-150s each)
+            bucket = 64
+            while bucket < len(idxs):
+                bucket *= 2
+            bucket = min(bucket, B)
+            pad = np.zeros(bucket, np.int32)
+            pad[: len(idxs)] = idxs
+            global _WALK_ROW_GATHER
+            if _WALK_ROW_GATHER is None:
+                _WALK_ROW_GATHER = jax.jit(lambda d, i: d[i])
+            out = np.asarray(_WALK_ROW_GATHER(big_dev, pad))
+            for j, i in enumerate(idxs):
+                final_sends[i] = out[j, : self.Cm]
+                final_band[i] = out[j, self.Cm :]
+            return final_sends, final_band
+
+        global _WALK_ROW_SLICE
+        if _WALK_ROW_SLICE is None:
+
+            def _row1(dev, i):
+                return jax.lax.dynamic_slice_in_dim(dev, i, 1, axis=0)
+
+            _WALK_ROW_SLICE = jax.jit(_row1)
+        devs = []
+        for i in idxs:
+            d = _WALK_ROW_SLICE(big_dev, np.int32(i))
+            try:
+                d.copy_to_host_async()
+            except Exception:
+                pass
+            devs.append(d)
+        for i, d in zip(idxs, devs):
+            row = np.asarray(d)[0]
+            final_sends[i] = row[: self.Cm]
+            final_band[i] = row[self.Cm :]
+        return final_sends, final_band
 
     def _walk_starts(self, problems, lanes, keeps, walk_idx, final_sends, final_band):
         """Backtrace start position per lane: min_score_index.back() of the
@@ -1174,6 +1351,17 @@ class BandedBatchAligner:
         off_w = first_cell - offs_w[np.arange(len(widx)), slot_w]
         node_w = fb[np.arange(len(widx)), slot_w]
         pos_w = np.asarray(g.node_start)[node_w] + off_w
+        # same-node ties, VECTORIZED: slot spans are contiguous cell
+        # ranges, so first and last min in the same slot means ALL tied
+        # minima are inside one node — the reference winner is then the
+        # node's last tied offset regardless of collection order (the
+        # resolve_tie fast path, lifted out of the per-lane pool)
+        last_cell = sends_w.shape[1] - 1 - np.argmax(is_min[:, ::-1], axis=1)
+        slot_l = ((offs_w <= last_cell[:, None]) & valid).sum(axis=1) - 1
+        off_l = last_cell - offs_w[np.arange(len(widx)), slot_l]
+        node_l = fb[np.arange(len(widx)), slot_l]
+        pos_l = np.asarray(g.node_start)[node_l] + off_l
+        same_node = slot_w == slot_l
         def resolve_tie(i):
             """Reference min_score_index.back(): the LAST minimum cell in
             banded-Tarjan collection order, which needs the band-order
@@ -1208,48 +1396,70 @@ class BandedBatchAligner:
                 return (int(g.node_start[order2[slot]]) + off, slot, off)
             orders = self._band_orders(problems[i][1], accepted, lane.bandwidths[:keep])
             order = orders[-1]
-            cell_of = {
-                int(n): (int(f), int(L))
-                for n, f, L in zip(order2, offs2, lens2)
-            }
-            last = None
-            comps = _banded_tarjan(g, list(order), {n: True for n in order})
-            for comp in reversed(comps):
-                for n in reversed(comp):
-                    f, L = cell_of[n]
-                    seg = sends[f : f + L]
-                    if seg.min() == best:
-                        startp = int(g.node_start[n])
-                        for k in range(L):
-                            if seg[k] == best:
-                                last = startp + k
-            assert last is not None
+            from ..io import native as _nat
+
+            if _nat.get_lib() is not None:
+                # native banded-Tarjan + last-min scan (bit-exact twin of
+                # the Python block below; the per-lane Python Tarjan was
+                # the tie path's host bottleneck on short-read corpora)
+                last = _nat.tie_start(
+                    order, sends[:c_used], best, g, self.tables.topo_rank
+                )
+                assert last is not None and last >= 0
+            else:
+                cell_of = {
+                    int(n): (int(f), int(L))
+                    for n, f, L in zip(order2, offs2, lens2)
+                }
+                last = None
+                comps = _banded_tarjan(g, list(order), {n: True for n in order})
+                for comp in reversed(comps):
+                    for n in reversed(comp):
+                        f, L = cell_of[n]
+                        seg = sends[f : f + L]
+                        if seg.min() == best:
+                            startp = int(g.node_start[n])
+                            for k in range(L):
+                                if seg[k] == best:
+                                    last = startp + k
+                assert last is not None
             node = int(g.pos_to_node[last])
             slot = int(np.nonzero(order2 == node)[0][0])
             return (last, slot, last - int(g.node_start[node]))
 
         starts: list = [None] * len(walk_idx)
         tie_idx = []
+        n_mn = 0
         for w, i in enumerate(walk_idx):
+            if nmins[w] == 0:
+                # host/device min divergence: no cell holds the accepted
+                # min — fail the lane (starts[w] stays None)
+                continue
             if nmins[w] == 1:
                 starts[w] = (int(pos_w[w]), int(slot_w[w]), int(off_w[w]))
+            elif same_node[w]:
+                starts[w] = (int(pos_l[w]), int(slot_l[w]), int(off_l[w]))
             else:
                 tie_idx.append((w, i))
+                n_mn += 1
         if tie_idx:
-            # materialize the lazy per-round replay inputs once, single-
-            # threaded (they are cached on the _Round), then resolve the
-            # tie lanes on the host pool: the native band-order replay
-            # releases the GIL (reference analog: per-thread backtraces,
-            # Aligner.cpp:275-298)
+            # materialize the replay inputs once, single-threaded (cached
+            # on the _Round; tie16 columns fetched only for THESE lanes
+            # unless the eager full round already landed), then resolve
+            # the tie lanes on the host pool: the native band-order
+            # replay releases the GIL (reference analog: per-thread
+            # backtraces, Aligner.cpp:275-298)
             from ..io import native as _native
 
             have_native = _native.get_lib() is not None
             live_ties = []
+            by_round: dict = {}
             for w, i in tie_idx:
                 ok = True
                 for rec in lanes[i].accepted[: int(keeps[i])]:
                     if have_native:
-                        rec.rnd.tie16
+                        ent = by_round.setdefault(id(rec.rnd), (rec.rnd, set()))
+                        ent[1].add(int(rec.lane_in_round))
                         rec.rnd.tie_ids_sub
                     elif (
                         rec.rnd.node_min_dev is None
@@ -1266,6 +1476,8 @@ class BandedBatchAligner:
                     live_ties.append((w, i))
                 else:
                     lanes[i].failed = True
+            for rnd, lset in by_round.values():
+                rnd.fetch_tie16_lanes(sorted(lset))
             resolved = list(
                 _decode_pool().map(resolve_tie, [i for _, i in live_ties])
             )
@@ -1587,7 +1799,7 @@ class BandedBatchAligner:
             )
             if Bp != B:
                 codes8_w = np.pad(codes8_w, ((0, 0), (0, 0), (0, Bp - B)))
-            moves_dev, fail_dev, state_dev = wm.walk_moves(
+            moves_dev, fail_dev, state_dev, _used_dev = wm.walk_moves(
                 padB(cols_w, 0),
                 padB(band_w, int(EMPTY)),
                 padB(lens_w, 0),
@@ -1808,11 +2020,15 @@ class BandedBatchAligner:
         # enqueue host copies now: they run right after the scan on the
         # device timeline and overlap whatever is dispatched next, so the
         # later np.asarray calls return without paying transfer latency.
-        # tie16/ids_sub stay in the eager set: final-slice score TIES are
-        # the norm on real corpora (~80% of walk lanes, both sim and
-        # longsim), so nearly every chunk runs the band-order replay that
-        # consumes them.
-        for key in ("control", "tie16", "ids_sub"):
+        # tie16 is ADAPTIVE: the full [S, Nm, B] round is ~5MB of link
+        # time but only multi-node score ties consume it (~35% of walk
+        # lanes on longsim, ~75% on sim) — when the observed multi-node
+        # tie rate is low, skip the eager full fetch and let _walk_starts
+        # pull per-lane columns instead (fetch_tie16_lanes).
+        eager = ("control", "tie16", "ids_sub")
+        if self._mn_tie_rate <= 0.4:
+            eager = ("control", "ids_sub")
+        for key in eager:
             arr = out.get(key)
             if arr is not None and hasattr(arr, "copy_to_host_async"):
                 try:
@@ -2175,7 +2391,7 @@ class BandedBatchAligner:
                 # (steps s0..s0+K of the packed lane)
                 lr = r0.lane_in_round
                 s0 = r0.step
-                traw = r0.rnd.tie16[s0 : s0 + K, :, lr]
+                traw = r0.rnd.tie16_lane(lr)[s0 : s0 + K]
                 ms = r0.rnd.min_score[s0 : s0 + K, lr].astype(np.int64)[:, None]
                 tie[:, 1], tie[:, 2] = _decode_tie(traw, ms)
                 # subsampled band-HASH checks exist at absolute steps = 0 mod 8
@@ -2187,7 +2403,7 @@ class BandedBatchAligner:
                 check[k0::8] = 1
             else:
                 for k, rec in enumerate(accepted):
-                    traw = rec.rnd.tie16[rec.step, :, rec.lane_in_round]
+                    traw = rec.rnd.tie16_lane(rec.lane_in_round)[rec.step]
                     tie[k, 1], tie[k, 2] = _decode_tie(traw, rec.min_score)
                     if rec.step % 8 == 0:
                         tie[k, 0, 0] = rec.rnd.tie_ids_sub[

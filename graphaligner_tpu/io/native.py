@@ -150,6 +150,14 @@ def _register(lib):
         ctypes.POINTER(ctypes.c_uint8),  # check_mask
         i32p, i32p,  # orders_out, counts_out
     ]
+    lib.ga_tie_start.restype = ctypes.c_int64
+    lib.ga_tie_start.argtypes = [
+        i32p, ctypes.c_int64,  # order, n
+        i64p, i32p,  # out_ptr, out_idx
+        i64p, i64p,  # node_len, node_start
+        i32p, i32p,  # topo_rank, sends
+        ctypes.c_int64, ctypes.c_int32,  # n_sends, best
+    ]
 
 
 def gunzip(data: bytes) -> bytes | None:
@@ -286,6 +294,34 @@ def decode_moves(moves, start_w, start_row, node_start, node_end, pos_to_node,
     if n < 0:
         raise ValueError("malformed move stream")
     return np.stack([out_w[:n], out_r[:n]], axis=1)
+
+
+def tie_start(order, sends, best, graph, topo_rank):
+    """Resolve a multi-node final-slice score tie natively: banded
+    Tarjan over the insertion order + the reversed-components last-min
+    scan (the Python resolve_tie hot path). Returns the winning graph
+    position, -1 on host/device divergence, or None without the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    order = np.ascontiguousarray(order, dtype=np.int32)
+    sends = np.ascontiguousarray(sends, dtype=np.int32)
+    out_ptr = np.ascontiguousarray(graph.out_ptr, dtype=np.int64)
+    out_idx = np.ascontiguousarray(graph.out_idx, dtype=np.int32)
+    node_len = np.ascontiguousarray(graph.node_len, dtype=np.int64)
+    node_start = np.ascontiguousarray(graph.node_start, dtype=np.int64)
+    topo_rank = np.ascontiguousarray(topo_rank, dtype=np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    return int(
+        lib.ga_tie_start(
+            order.ctypes.data_as(i32p), len(order),
+            out_ptr.ctypes.data_as(i64p), out_idx.ctypes.data_as(i32p),
+            node_len.ctypes.data_as(i64p), node_start.ctypes.data_as(i64p),
+            topo_rank.ctypes.data_as(i32p), sends.ctypes.data_as(i32p),
+            len(sends), int(best),
+        )
+    )
 
 
 def band_orders(tie, min_scores, bandwidths, start_node, graph, topo_rank,

@@ -98,7 +98,9 @@ def walk_moves_kernel(
     Bb: int = 256,
     unroll: int = 1,
 ):
-    """Returns (moves [T_w, B], fail [1, B], state_out [16, B]) where
+    """Returns (moves [T_w, B], fail [1, B], state_out [16, B],
+    used [1, B] = each block's final lockstep step count, so the host
+    can fetch only the written moves prefix) where
     T_w = ceil((K*112+512)/8); nibble t of the flattened stream is
     lockstep step t's move. Long reads walk window by window (state_out
     of window w feeds init_state of window w-1); a single window with
@@ -132,6 +134,7 @@ def walk_moves_kernel(
         moves_ref,
         fail_ref,
         stout_ref,
+        used_ref,  # [1, Bb] int32: the block's final lockstep step count
         st_ref,  # scratch [16, Bb] int32 lane state
         word_ref,  # scratch [1, Bb] int32 move-pack word
         ctr_ref,  # scratch SMEM [1] int32 lockstep step counter
@@ -470,6 +473,10 @@ def walk_moves_kernel(
             t = ctr_ref[0]
             widx = jnp.minimum(t // 8, T_w - 1)
             moves_ref[widx, :] = word_ref[0, :]
+            # actual rows used = t//8 + 1: lets the host fetch only the
+            # written prefix of the moves array (the budget T_w is the
+            # worst case; real paths use ~60-75% of it)
+            used_ref[0, :] = jnp.zeros(Bb, jnp.int32) + t
             # a lane still INSIDE this window (sk > base) that is not
             # done got stuck -> fail; lanes with sk <= base continue in
             # the next (earlier) window via state_out
@@ -526,7 +533,7 @@ def walk_moves_kernel(
         axis=1,
     )
 
-    moves, fail, state_out = pl.pallas_call(
+    moves, fail, state_out, used = pl.pallas_call(
         kernel,
         grid=(nb, K),
         interpret=(jax.default_backend() == "cpu"),
@@ -548,11 +555,13 @@ def walk_moves_kernel(
             pl.BlockSpec((T_w, Bb), lambda b, s: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Bb), lambda b, s: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, Bb), lambda b, s: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bb), lambda b, s: (0, b), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T_w, B), jnp.int32),
             jax.ShapeDtypeStruct((1, B), jnp.int32),
             jax.ShapeDtypeStruct((16, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
         ],
         # both grid dims execute sequentially and the lane-state scratch
         # must persist across the slice dimension
@@ -578,4 +587,4 @@ def walk_moves_kernel(
         win_base,
         init_state,
     )
-    return moves, fail, state_out
+    return moves, fail, state_out, used

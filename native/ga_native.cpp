@@ -847,4 +847,128 @@ int64_t ga_compute_slice(
   return 1;
 }
 
+// ---------------------------------------------------------------------------
+// Multi-node tie resolution (counterpart of the banded-Tarjan scan in
+// core/batch_align.py::resolve_tie / oracle.py::_banded_tarjan,
+// reference min_score_index.back(), GraphAligner.h:1751-1901 +
+// 2359-2366): given the final slice's band INSERTION order and its
+// per-cell last-row scores, emit the winning backtrace start position.
+//
+// Replicates the Python exactly: Tarjan roots in band order,
+// out-neighbors in CSR adjacency order, components sinks-first; the
+// winner is whatever `last` holds after scanning reversed(components)
+// x reversed(component) and overwriting with each node's last tied
+// offset. Cell offsets follow the topo-rank-sorted (device slot)
+// layout, not insertion order.
+//
+// Returns the winning graph position, or -1 when no cell holds `best`
+// (host/device divergence; the caller fails the lane).
+// ---------------------------------------------------------------------------
+int64_t ga_tie_start(const int32_t* order, int64_t n,
+                     const int64_t* out_ptr, const int32_t* out_idx,
+                     const int64_t* node_len, const int64_t* node_start,
+                     const int32_t* topo_rank, const int32_t* sends,
+                     int64_t n_sends, int32_t best) {
+  if (n <= 0) return -1;
+  // layout: stable sort of the band by topo rank = the device slot
+  // order the sends cells follow
+  std::vector<int32_t> perm((size_t)n);
+  for (int64_t j = 0; j < n; j++) perm[(size_t)j] = (int32_t)j;
+  std::stable_sort(perm.begin(), perm.end(),
+                   [order, topo_rank](int32_t a, int32_t b) {
+                     return topo_rank[order[a]] < topo_rank[order[b]];
+                   });
+  // per-node (cell offset, length); n <= 32 so linear lookup is fine
+  std::vector<int32_t> lnode((size_t)n);
+  std::vector<int64_t> loff((size_t)n);
+  int64_t off = 0;
+  for (int64_t j = 0; j < n; j++) {
+    int32_t nd = order[perm[(size_t)j]];
+    lnode[(size_t)j] = nd;
+    loff[(size_t)j] = off;
+    off += node_len[nd];
+  }
+  if (off > n_sends) return -1;  // layout/sends length mismatch
+  // iterative banded Tarjan (oracle.py::_banded_tarjan)
+  std::vector<int32_t> idx((size_t)n, -1), low((size_t)n, 0);
+  std::vector<uint8_t> onstk((size_t)n, 0);
+  std::vector<int32_t> stk;
+  std::vector<std::pair<int32_t, int64_t> > work;  // (band slot, cursor)
+  std::vector<std::vector<int32_t> > comps;  // band-slot components
+  auto slot_of = [&](int32_t nd) -> int32_t {
+    for (int64_t j = 0; j < n; j++)
+      if (order[j] == nd) return (int32_t)j;
+    return -1;
+  };
+  int32_t counter = 0;
+  for (int64_t r = 0; r < n; r++) {
+    if (idx[(size_t)r] >= 0) continue;
+    idx[(size_t)r] = low[(size_t)r] = counter++;
+    stk.push_back((int32_t)r);
+    onstk[(size_t)r] = 1;
+    work.clear();
+    work.push_back(std::make_pair((int32_t)r, out_ptr[order[r]]));
+    while (!work.empty()) {
+      int32_t v = work.back().first;
+      int64_t cur = work.back().second;
+      int64_t end = out_ptr[order[v] + 1];
+      bool advanced = false;
+      while (cur < end) {
+        int32_t w = slot_of(out_idx[cur]);
+        cur++;
+        if (w < 0) continue;  // not in band
+        if (idx[(size_t)w] < 0) {
+          work.back().second = cur;
+          idx[(size_t)w] = low[(size_t)w] = counter++;
+          stk.push_back(w);
+          onstk[(size_t)w] = 1;
+          work.push_back(std::make_pair(w, out_ptr[order[w]]));
+          advanced = true;
+          break;
+        } else if (onstk[(size_t)w]) {
+          if (idx[(size_t)w] < low[(size_t)v]) low[(size_t)v] = idx[(size_t)w];
+        }
+      }
+      if (advanced) continue;
+      work.pop_back();
+      if (!work.empty()) {
+        int32_t parent = work.back().first;
+        if (low[(size_t)v] < low[(size_t)parent])
+          low[(size_t)parent] = low[(size_t)v];
+      }
+      if (low[(size_t)v] == idx[(size_t)v]) {
+        comps.push_back(std::vector<int32_t>());
+        while (true) {
+          int32_t w = stk.back();
+          stk.pop_back();
+          onstk[(size_t)w] = 0;
+          comps.back().push_back(w);
+          if (w == v) break;
+        }
+      }
+    }
+  }
+  // reversed(comps) x reversed(comp), overwriting `last` with each tied
+  // node's last minimum offset (exact Python scan order)
+  int64_t last = -1;
+  for (size_t c = comps.size(); c-- > 0;) {
+    const std::vector<int32_t>& comp = comps[c];
+    for (size_t t = comp.size(); t-- > 0;) {
+      int32_t nd = order[comp[t]];
+      // locate the node's cell span in the slot layout
+      int64_t f = -1, L = node_len[nd];
+      for (int64_t j = 0; j < n; j++)
+        if (lnode[(size_t)j] == nd) { f = loff[(size_t)j]; break; }
+      if (f < 0) continue;
+      int32_t mn = sends[f];
+      for (int64_t k2 = 1; k2 < L; k2++)
+        if (sends[f + k2] < mn) mn = sends[f + k2];
+      if (mn != best) continue;
+      for (int64_t k2 = 0; k2 < L; k2++)
+        if (sends[f + k2] == best) last = node_start[nd] + k2;
+    }
+  }
+  return last;
+}
+
 }  // extern "C"

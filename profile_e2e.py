@@ -73,7 +73,8 @@ def main():
         "_finish_round",       # BLOCKS on the packed control fetch
         "_replay_bulk",        # vectorized host control replay
         "_replay",             # per-lane replay (rewinds)
-        "_gather_walk_inputs", # BLOCKS on walk-start fetch
+        "_gather_walk_inputs", # walk-start summary gather + [B,10] fetch
+        "_fetch_walk_rows",    # row-subset fetch for multi-node tie lanes
         "_walk_starts",        # start decision + tie resolution
         "_band_orders",        # the tie band-order replay inside ^
         "_consolidate",        # device gather of walk tables
@@ -81,8 +82,16 @@ def main():
         "_walk_moves_collect", # BLOCKS on moves + native decode
         "_walk_xla",           # XLA fallback walk (should be ~0)
         "_stash_round_boundary",
+        "_start_run",          # FFD packing + codes layout + dispatch
+        "_build_table",        # host oracle-table fallback (should be ~0)
     ):
         _wrap(B, name)
+    # module-qualified calls (batch_align calls trace_ops.trace_to_runs /
+    # merge_runs through the module object, so rebinding works)
+    from graphaligner_tpu.core import trace_ops as _to
+
+    _wrap(_to, "trace_to_runs")
+    _wrap(_to, "merge_runs")
 
     aligner = B(graph, 35, 0)
     ba.align_reads_seeded_batch(graph, aligner, reads, seeds)  # warm

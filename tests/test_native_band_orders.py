@@ -75,3 +75,59 @@ def test_native_band_orders_match_oracle(graph_file, reads_file, seeds_file, idx
     assert orders is not None
     for k in range(K):
         assert list(orders[k]) == list(slices[k].nodes), f"slice {k}"
+
+
+def test_native_tie_start_matches_python_scan():
+    """ga_tie_start (native banded-Tarjan + last-min scan) must equal the
+    Python reversed-components scan on fuzzed band orders + score rows —
+    it replaces that scan on the multi-node tie hot path."""
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    from graphaligner_tpu.core.batch_align import _cell_layout
+    from graphaligner_tpu.core.oracle import _banded_tarjan
+
+    graph = load_alignment_graph(str(FIX / "sim" / "bubbles.vg"))
+    tables = build_graph_tables(graph)
+    topo = np.asarray(tables.topo_rank)
+    rng = np.random.default_rng(7)
+    n_nodes = graph.node_count
+    for trial in range(200):
+        # random connected-ish band: start node + forward closure walk
+        start = int(rng.integers(0, n_nodes))
+        order = [start]
+        seen = {start}
+        while len(order) < int(rng.integers(2, 14)):
+            src = order[int(rng.integers(0, len(order)))]
+            nbrs = [int(x) for x in graph.out_neighbors(src)]
+            if not nbrs:
+                break
+            w = nbrs[int(rng.integers(0, len(nbrs)))]
+            if w not in seen:
+                seen.add(w)
+                order.append(w)
+        order_arr = np.array(order, dtype=np.int64)
+        order2, lens2, offs2 = _cell_layout(tables, order_arr)
+        c_used = int(lens2.sum())
+        # random scores with deliberate multi-node ties
+        sends = rng.integers(5, 9, c_used).astype(np.int32)
+        best = int(sends.min())
+        # python reference scan
+        cell_of = {
+            int(n): (int(f), int(L))
+            for n, f, L in zip(order2, offs2, lens2)
+        }
+        last = None
+        comps = _banded_tarjan(graph, list(order), {n: True for n in order})
+        for comp in reversed(comps):
+            for n in reversed(comp):
+                f, L = cell_of[n]
+                seg = sends[f : f + L]
+                if seg.min() == best:
+                    startp = int(graph.node_start[n])
+                    for k in range(L):
+                        if seg[k] == best:
+                            last = startp + k
+        got = native.tie_start(order_arr, sends, best, graph, topo)
+        assert got == last, (trial, order, got, last)
+        # divergence case: no cell holds best
+        assert native.tie_start(order_arr, sends, best - 1, graph, topo) == -1
