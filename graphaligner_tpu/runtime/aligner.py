@@ -131,7 +131,25 @@ def _align_reads_impl(
     engine (per-lane fallbacks: bigger capacity tier, then host oracle)
     and full-band (-i) through the batched exhaustive engine;
     backend='oracle' runs everything on the scalar host pipeline.
+    backend='auto' (the CLI default) resolves to 'jax' whenever a jax
+    backend initializes — the device engine is the product path
+    (reference analog: AlignerMain.cpp has no slow-path flag at all) —
+    and falls back to 'oracle' with a loud log otherwise.
     """
+    if backend == "auto":
+        try:
+            import jax
+
+            dev = jax.devices()[0]
+            backend = "jax"
+            log(f"backend auto: device engine on {dev.platform}")
+        except Exception as e:
+            backend = "oracle"
+            log(
+                "backend auto: no usable jax backend "
+                f"({type(e).__name__}: {e}); FALLING BACK to the scalar "
+                "host oracle — expect reference-CPU speeds"
+            )
     os.makedirs(output_dir, exist_ok=True)
     dist = process_count is not None and process_count > 1
     final_alignment_file = params.alignment_file

@@ -30,9 +30,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-d", dest="dynamic_row_start", type=int, default=64)
     p.add_argument(
         "--backend",
-        default="oracle",
-        choices=["oracle", "jax"],
-        help="slice compute backend (oracle = scalar host, jax = TPU engine)",
+        default="auto",
+        choices=["auto", "oracle", "jax"],
+        help="slice compute backend: auto (default) = the batched device "
+        "engine whenever a jax backend initializes (TPU, else CPU), with "
+        "a loud fallback to the scalar host oracle; oracle = the scalar "
+        "host spec path; jax = force the device engine",
     )
     p.add_argument("--coordinator", default="", help="multi-host: coordinator address host:port (jax.distributed)")
     p.add_argument("--num-processes", type=int, default=0)

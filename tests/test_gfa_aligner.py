@@ -20,8 +20,10 @@ from pathlib import Path
 SIM = Path(__file__).parent / "fixtures" / "sim"
 
 
-@pytest.mark.parametrize("backend", ["oracle", "jax"])
+@pytest.mark.parametrize("backend", ["oracle", "jax", "auto"])
 def test_gfa_input_matches_reference(tmp_path, backend):
+    # "auto" is the CLI default: it must resolve to the device engine
+    # (jax CPU backend in CI) and stay byte-identical to the goldens
     params = AlignerParams(
         graph_file=str(SIM / "overlap.gfa"),
         fastq_file=str(SIM / "gfa_reads.fastq"),
