@@ -272,9 +272,11 @@ class _Round:
         sends_dev,  # [S, Cm, B] device
         tie16_dev=None,  # [S, Nm, B] device packed score deltas
         ids_sub_dev=None,  # [ceil(S/8), Nm, B] device
+        codes_dev=None,  # [S, 64, B] device uint8 (walk-layout read codes)
     ):
         self.tie16_dev = tie16_dev
         self.ids_sub_dev = ids_sub_dev
+        self.codes_dev = codes_dev
         self._tie16_cols: dict = {}
         self.lanes = lanes
         self.start_slice = start_slice
@@ -694,6 +696,7 @@ class BandedBatchAligner:
                     # previous round; its packed columns can go now, and
                     # the round before THAT no longer feeds rewinds
                     self._chunk_rounds[-1].cols_dev = None
+                    self._chunk_rounds[-1].codes_dev = None
                     if len(self._chunk_rounds) >= 2:
                         # these four fields are dropped TOGETHER: rewind
                         # carries into this round are no longer serviceable
@@ -799,7 +802,6 @@ class BandedBatchAligner:
         Failed lanes are withheld until the capacity-retry tier resolves
         them; the last yielded batch maps the remainder (value None =
         host fallback needed)."""
-        import os as _os
 
         chunk_size = int(_os.environ.get("GA_CHUNK", chunk_size))
         # segment-packed chunks: problems are packed back to back into
@@ -1007,7 +1009,6 @@ class BandedBatchAligner:
             K_max = cap
         else:
             K_max = 32
-        import os as _os
 
         use_moves = (
             (
@@ -1075,7 +1076,7 @@ class BandedBatchAligner:
         from ..ops.pallas import walk_moves as wm
 
         B = len(lanes)
-        cols_tab, band_tab, lens_tab, pred_tab = self._consolidate(
+        cols_tab, band_tab, lens_tab, pred_tab, codes_tab = self._consolidate(
             lanes, keeps, K_max, "perslice"
         )
         # pad the batch to a 128-lane multiple for the kernel
@@ -1089,23 +1090,30 @@ class BandedBatchAligner:
             )
             lens_tab = jnp.pad(lens_tab, ((0, 0), (0, 0), (0, Bp - B)))
             pred_tab = jnp.pad(pred_tab, ((0, 0), (0, 0), (0, Bp - B)))
+            if codes_tab is not None:
+                codes_tab = jnp.pad(codes_tab, ((0, 0), (0, 0), (0, Bp - B)))
         from .backtrace_device import _BT_MATCH
 
         bits_lut = np.zeros(_BT_MATCH.shape[0], dtype=np.int32)
         for g in range(5):
             bits_lut |= _BT_MATCH[:, g].astype(np.int32) << g
-        L = K_max * WORD_SIZE
-        codes = self._codes[:, :L]
-        if codes.shape[1] < L:
-            codes = np.pad(codes, ((0, 0), (0, L - codes.shape[1])))
-        # ship the uint8 codes and expand to int32 match masks on device
-        # (walk_moves) — the mask table itself is 4x the bytes over the
-        # remote link and was ~0.6s/1000 reads of host+transfer time
-        codes8 = np.ascontiguousarray(
-            codes.reshape(B, K_max, WORD_SIZE).transpose(1, 2, 0)
-        )
-        if Bp != B:
-            codes8 = np.pad(codes8, ((0, 0), (0, 0), (0, Bp - B)))
+        if codes_tab is None or _os.environ.get("GA_HOST_WALK_CODES"):
+            # host fallback (and the GA_HOST_WALK_CODES A/B switch):
+            # relayout + re-upload the uint8 codes; device-side match
+            # mask expansion either way (the mask table is 4x the bytes)
+            L = K_max * WORD_SIZE
+            codes = self._codes[:, :L]
+            if codes.shape[1] < L:
+                codes = np.pad(codes, ((0, 0), (0, L - codes.shape[1])))
+            codes8 = np.ascontiguousarray(
+                codes.reshape(B, K_max, WORD_SIZE).transpose(1, 2, 0)
+            )
+            if Bp != B:
+                codes8 = np.pad(codes8, ((0, 0), (0, 0), (0, Bp - B)))
+        else:
+            # device-resident: gathered by _consolidate from the scan's
+            # codes passthrough — nothing multi-MB crosses the link
+            codes8 = codes_tab
 
         def row1(a):
             a = np.ascontiguousarray(a, dtype=np.int32)
@@ -1146,7 +1154,6 @@ class BandedBatchAligner:
         # remote link is the walk path's bottleneck: the full array is
         # ~9.4MB/chunk at 37MB/s) — collect falls back to the full
         # buffer on the rare over-run (kernel reports the used count)
-        import os as _os
 
         T_w = moves_dev.shape[0]
         t_lo = int(_os.environ.get("GA_WALK_TLO", 88))
@@ -1190,6 +1197,7 @@ class BandedBatchAligner:
 
         def decode_one(i):
             try:
+                native.set_read(f"walk decode lane {i}")
                 return native.decode_moves(
                     np.ascontiguousarray(moves[:, i]),
                     int(sw[i]),
@@ -1478,6 +1486,65 @@ class BandedBatchAligner:
                     lanes[i].failed = True
             for rnd, lset in by_round.values():
                 rnd.fetch_tie16_lanes(sorted(lset))
+            if (
+                have_native
+                and live_ties
+                and not _os.environ.get("GA_NO_TIEBATCH")
+            ):
+                # ONE native call resolves every tie lane: the chain
+                # replay + last-min scan run on a C++ thread pool
+                # (ga_tie_batch); the per-lane Python dispatch overhead
+                # (numpy prep + 2 ctypes calls per lane under the GIL)
+                # dominated this phase on short-read corpora
+                from .params import ALTERNATE_METHOD_CUTOFF
+
+                W = len(live_ties)
+                Kmax = max(int(keeps[i]) for _, i in live_ties)
+                Nm = self.Nm
+                tie_b = np.zeros((W, Kmax, 3, Nm), np.int32)
+                chk_b = np.zeros((W, Kmax), np.uint8)
+                ms_b = np.zeros((W, Kmax), np.int32)
+                bw_b = np.zeros((W, Kmax), np.int32)
+                Ks = np.zeros(W, np.int32)
+                sn_b = np.zeros(W, np.int32)
+                bests_b = np.zeros(W, np.int32)
+                for t, (w, i) in enumerate(live_ties):
+                    keep = int(keeps[i])
+                    tie, check, ms = self._tie_chain_inputs(
+                        lanes[i].accepted[:keep]
+                    )
+                    tie_b[t, :keep] = tie
+                    chk_b[t, :keep] = check
+                    ms_b[t, :keep] = ms
+                    bw_b[t, :keep] = lanes[i].bandwidths[:keep]
+                    Ks[t] = keep
+                    sn_b[t] = problems[i][1]
+                    bests_b[t] = ms[keep - 1]
+                sends_b = final_sends[[i for _, i in live_ties]]
+                pos_b, rc_b = _native.tie_batch(
+                    tie_b, ms_b, bw_b, Ks, sn_b, chk_b, sends_b, bests_b,
+                    g, self.tables.topo_rank, ALTERNATE_METHOD_CUTOFF,
+                    int(EMPTY), _decode_pool()._max_workers,
+                )
+                p2n = self.tables.pos_to_node
+                node_start = np.asarray(g.node_start)
+                for t, (w, i) in enumerate(live_ties):
+                    if rc_b[t] != 0 or pos_b[t] < 0:
+                        # host/device band divergence (or no tied min):
+                        # fail only this lane — it re-runs on the retry
+                        # ladder (capacity tier → oracle)
+                        lanes[i].failed = True
+                        continue
+                    pos = int(pos_b[t])
+                    node = int(p2n[pos])
+                    hit = np.nonzero(fb[w] == node)[0]
+                    if len(hit) == 0:
+                        lanes[i].failed = True
+                        continue
+                    starts[w] = (
+                        pos, int(hit[0]), pos - int(node_start[node])
+                    )
+                return starts
             resolved = list(
                 _decode_pool().map(resolve_tie, [i for _, i in live_ties])
             )
@@ -1504,6 +1571,10 @@ class BandedBatchAligner:
         lens_tab = jnp.zeros((K_max, self.Nm, B), dtype=jnp.int32)
         pred_tab = jnp.zeros((K_max, self.Nm, B), dtype=jnp.int32)
         cols_tab = None
+        codes_tab = None
+        want_codes = layout == "perslice" and all(
+            r.codes_dev is not None for r in rounds
+        )
         for rnd in rounds:
             steps = np.zeros((K_max, B), dtype=np.int32)
             mask = np.zeros((K_max, B), dtype=bool)
@@ -1550,8 +1621,24 @@ class BandedBatchAligner:
             cols_tab = (
                 jnp.where(m, g, 0) if cols_tab is None else jnp.where(m, g, cols_tab)
             )
+            if want_codes:
+                # walk-layout read codes, gathered from the SCAN's
+                # device-resident passthrough (engine_banded "codes"):
+                # saves the ~5MB/chunk host relayout + re-upload the
+                # walk dispatch used to pay
+                csrc = rnd.codes_dev[:, :, lane_pos]  # [S, 64, B]
+                cg = jnp.take_along_axis(
+                    csrc, jnp.asarray(steps)[:, None, :], axis=0
+                )  # [K_max, 64, B]
+                cm = jnp.asarray(mask)[:, None, :]
+                zero8 = jnp.zeros((), dtype=cg.dtype)
+                codes_tab = (
+                    jnp.where(cm, cg, zero8)
+                    if codes_tab is None
+                    else jnp.where(cm, cg, codes_tab)
+                )
         if layout == "perslice":
-            return cols_tab, band_tab, lens_tab, pred_tab
+            return cols_tab, band_tab, lens_tab, pred_tab, codes_tab
         cols_tab = jnp.transpose(cols_tab, (1, 2, 0, 3)).reshape(
             7, B, K_max * cols_tab.shape[3]
         )
@@ -2090,6 +2177,7 @@ class BandedBatchAligner:
             sends_dev=out["sends"],
             tie16_dev=out["tie16"],
             ids_sub_dev=out.get("ids_sub"),
+            codes_dev=out.get("codes"),
         )
         rnd._bw = bw
         rnd._carry_from = [r[2] for r in requests]
@@ -2364,6 +2452,51 @@ class BandedBatchAligner:
             )
         return table
 
+    def _tie_chain_inputs(self, accepted):
+        """Device tie rows for one lane's accepted chain, as the native
+        chain replay consumes them: tie [K, 3, Nm] int32 (plane 0 =
+        subsampled band-row hash in slot 0, planes 1/2 = decoded
+        node_min/node_end), check [K] uint8, min_scores [K] int32."""
+        K = len(accepted)
+        Nm = self.Nm
+        tie = np.zeros((K, 3, Nm), np.int32)
+        check = np.zeros(K, np.uint8)
+        r0 = accepted[0]
+        straight = all(
+            rec.rnd is r0.rnd
+            and rec.lane_in_round == r0.lane_in_round
+            and rec.step == r0.step + k
+            for k, rec in enumerate(accepted)
+        )
+        if straight:
+            # the common no-rewind chain: one contiguous slab view
+            # (steps s0..s0+K of the packed lane)
+            lr = r0.lane_in_round
+            s0 = r0.step
+            traw = r0.rnd.tie16_lane(lr)[s0 : s0 + K]
+            ms = r0.rnd.min_score[s0 : s0 + K, lr].astype(np.int64)
+            tie[:, 1], tie[:, 2] = _decode_tie(traw, ms[:, None])
+            # subsampled band-HASH checks exist at absolute steps = 0 mod 8
+            k0 = (-s0) % 8
+            sub = r0.rnd.tie_ids_sub[
+                (s0 + k0) // 8 : (s0 + K + 7) // 8, lr
+            ]
+            tie[k0 : k0 + sub.shape[0] * 8 : 8, 0, 0] = sub
+            check[k0::8] = 1
+            ms = ms.astype(np.int32)
+        else:
+            ms = np.zeros(K, np.int32)
+            for k, rec in enumerate(accepted):
+                traw = rec.rnd.tie16_lane(rec.lane_in_round)[rec.step]
+                tie[k, 1], tie[k, 2] = _decode_tie(traw, rec.min_score)
+                ms[k] = rec.min_score
+                if rec.step % 8 == 0:
+                    tie[k, 0, 0] = rec.rnd.tie_ids_sub[
+                        rec.step // 8, rec.lane_in_round
+                    ]
+                    check[k] = 1
+        return tie, check, ms
+
     def _band_orders(self, start_node, accepted, bandwidths):
         """Replay the reference's band-insertion-order chain (needed for
         min_score_index tie-breaking): each slice's projection consumes
@@ -2375,44 +2508,10 @@ class BandedBatchAligner:
         from .params import ALTERNATE_METHOD_CUTOFF
 
         if native.get_lib() is not None and accepted:
-            K = len(accepted)
-            Nm = self.Nm
-            tie = np.zeros((K, 3, Nm), np.int32)
-            check = np.zeros(K, np.uint8)
-            r0 = accepted[0]
-            straight = all(
-                rec.rnd is r0.rnd
-                and rec.lane_in_round == r0.lane_in_round
-                and rec.step == r0.step + k
-                for k, rec in enumerate(accepted)
-            )
-            if straight:
-                # the common no-rewind chain: one contiguous slab view
-                # (steps s0..s0+K of the packed lane)
-                lr = r0.lane_in_round
-                s0 = r0.step
-                traw = r0.rnd.tie16_lane(lr)[s0 : s0 + K]
-                ms = r0.rnd.min_score[s0 : s0 + K, lr].astype(np.int64)[:, None]
-                tie[:, 1], tie[:, 2] = _decode_tie(traw, ms)
-                # subsampled band-HASH checks exist at absolute steps = 0 mod 8
-                k0 = (-s0) % 8
-                sub = r0.rnd.tie_ids_sub[
-                    (s0 + k0) // 8 : (s0 + K + 7) // 8, lr
-                ]
-                tie[k0 : k0 + sub.shape[0] * 8 : 8, 0, 0] = sub
-                check[k0::8] = 1
-            else:
-                for k, rec in enumerate(accepted):
-                    traw = rec.rnd.tie16_lane(rec.lane_in_round)[rec.step]
-                    tie[k, 1], tie[k, 2] = _decode_tie(traw, rec.min_score)
-                    if rec.step % 8 == 0:
-                        tie[k, 0, 0] = rec.rnd.tie_ids_sub[
-                            rec.step // 8, rec.lane_in_round
-                        ]
-                        check[k] = 1
+            tie, check, ms = self._tie_chain_inputs(accepted)
             orders = native.band_orders(
                 tie,
-                [rec.min_score for rec in accepted],
+                ms,
                 list(bandwidths),
                 start_node,
                 g,
@@ -2550,6 +2649,9 @@ def align_reads_seeded_batch(
     def process_entry(s, seed, fw_i, bw_i, walked):
         """Assemble one wave entry (reference getPiecewiseTracesFromSplit,
         GraphAligner.h:3040-3098) and fold it into the read's best."""
+        from ..io import native as _native
+
+        _native.set_read(s["read"].seq_id)
         node_id, pos, reverse = seed
         sequence = s["read"].sequence
         cells = 0

@@ -271,6 +271,7 @@ def _shard_banded(fn, mesh, axis, segmented, has_reach=False):
         "sends": P(None, None, axis),
         "lens_tab": P(None, None, axis),
         "pred_tab": P(None, None, axis),
+        "codes": P(None, None, axis),
     }
     try:
         return shard_map(
@@ -1257,6 +1258,14 @@ def _banded_scan(
         "sends": sends,  # [S, Cm, B] per-cell last-row scores
         "lens_tab": lens_tab,  # [S, Nm, B] per-slot node lengths
         "pred_tab": pred_tab,  # [S, Nm, B] packed pred (slot|valid<<5)<<6k
+        # read codes passed through to a DEVICE-RESIDENT buffer in the
+        # walk kernel's [S, 64, B] layout: the backtrace walk gathers
+        # its per-slice codes from here (batch_align._consolidate)
+        # instead of re-uploading ~5MB of host-relaid codes per chunk
+        # (the remote link is the walk path's bottleneck)
+        "codes": jnp.transpose(
+            read_codes.reshape(B, -1, WORD_SIZE), (1, 2, 0)
+        ),  # [S, 64, B] uint8
     }
 
 

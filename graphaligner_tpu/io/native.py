@@ -50,8 +50,22 @@ def get_lib():
     except (OSError, AttributeError):
         # missing symbol = a stale library from an older source tree
         return None
+    if not os.environ.get("GA_NO_CRASH_GUARD"):
+        # SIGSEGV/SIGBUS -> read attribution + per-call recovery inside
+        # the native entry points (reference ThreadReadAssertion.cpp:8-14,
+        # installed at AlignerMain.cpp:12-16). Faults outside a guarded
+        # native call re-raise with the default handler.
+        lib.ga_install_crash_guard()
     _lib = lib
     return _lib
+
+
+def set_read(name) -> None:
+    """Record the read/context being processed on THIS thread for native
+    crash attribution (reference assertSetRead)."""
+    lib = get_lib()
+    if lib is not None:
+        lib.ga_set_read(str(name).encode()[:255])
 
 
 def _register(lib):
@@ -157,6 +171,23 @@ def _register(lib):
         i64p, i64p,  # node_len, node_start
         i32p, i32p,  # topo_rank, sends
         ctypes.c_int64, ctypes.c_int32,  # n_sends, best
+    ]
+    lib.ga_set_read.restype = None
+    lib.ga_set_read.argtypes = [ctypes.c_char_p]
+    lib.ga_install_crash_guard.restype = None
+    lib.ga_install_crash_guard.argtypes = []
+    lib.ga_tie_batch.restype = ctypes.c_int
+    lib.ga_tie_batch.argtypes = [
+        i32p, i32p, i32p,  # band_ids, node_min, node_end [W*Kmax*Nm]
+        i32p, i32p,  # min_scores, bandwidths [W*Kmax]
+        i32p, i32p,  # Ks, start_nodes [W]
+        ctypes.POINTER(ctypes.c_uint8),  # check_mask [W*Kmax]
+        i32p, i32p,  # sends [W*Cm], bests [W]
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # W, Kmax, Nm, Cm
+        i64p, i32p, i64p, i64p,  # out_ptr, out_idx, node_len, node_start
+        i32p, ctypes.c_int64,  # topo_rank, num_nodes
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,  # cutoff, EMPTY, nthreads
+        i64p, i32p,  # pos_out, rc_out
     ]
 
 
@@ -322,6 +353,58 @@ def tie_start(order, sends, best, graph, topo_rank):
             len(sends), int(best),
         )
     )
+
+
+def tie_batch(tie, min_scores, bandwidths, Ks, start_nodes, check_mask,
+              sends, bests, graph, topo_rank, cutoff, empty, nthreads):
+    """Batched multi-node tie resolution: chain replay + last-min scan
+    for W lanes in ONE native call (internal C++ thread pool).
+
+    tie: [W, Kmax, 3, Nm] int32 (hash-plane, node_min, node_end);
+    min_scores/bandwidths/check_mask: [W, Kmax]; Ks/start_nodes/bests:
+    [W]; sends: [W, Cm] final-slice cell scores. Returns (pos [W] int64,
+    rc [W] int32) — pos=-1 where unresolved, rc 1=band mismatch,
+    2=capacity overflow — or None without the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    tie = np.asarray(tie, dtype=np.int32)
+    W, Kmax, _, Nm = tie.shape
+    band = np.ascontiguousarray(tie[:, :, 0])
+    nmin = np.ascontiguousarray(tie[:, :, 1])
+    nend = np.ascontiguousarray(tie[:, :, 2])
+    min_scores = np.ascontiguousarray(min_scores, dtype=np.int32)
+    bandwidths = np.ascontiguousarray(bandwidths, dtype=np.int32)
+    Ks = np.ascontiguousarray(Ks, dtype=np.int32)
+    start_nodes = np.ascontiguousarray(start_nodes, dtype=np.int32)
+    check_mask = np.ascontiguousarray(check_mask, dtype=np.uint8)
+    sends = np.ascontiguousarray(sends, dtype=np.int32)
+    bests = np.ascontiguousarray(bests, dtype=np.int32)
+    Cm = sends.shape[1]
+    out_ptr = np.ascontiguousarray(graph.out_ptr, dtype=np.int64)
+    out_idx = np.ascontiguousarray(graph.out_idx, dtype=np.int32)
+    node_len = np.ascontiguousarray(graph.node_len, dtype=np.int64)
+    node_start = np.ascontiguousarray(graph.node_start, dtype=np.int64)
+    topo_rank = np.ascontiguousarray(topo_rank, dtype=np.int32)
+    pos = np.empty(W, dtype=np.int64)
+    rc = np.empty(W, dtype=np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.ga_tie_batch(
+        band.ctypes.data_as(i32p), nmin.ctypes.data_as(i32p),
+        nend.ctypes.data_as(i32p), min_scores.ctypes.data_as(i32p),
+        bandwidths.ctypes.data_as(i32p), Ks.ctypes.data_as(i32p),
+        start_nodes.ctypes.data_as(i32p), check_mask.ctypes.data_as(u8p),
+        sends.ctypes.data_as(i32p), bests.ctypes.data_as(i32p),
+        W, Kmax, Nm, Cm,
+        out_ptr.ctypes.data_as(i64p), out_idx.ctypes.data_as(i32p),
+        node_len.ctypes.data_as(i64p), node_start.ctypes.data_as(i64p),
+        topo_rank.ctypes.data_as(i32p), graph.node_count,
+        int(cutoff), int(empty), int(nthreads),
+        pos.ctypes.data_as(i64p), rc.ctypes.data_as(i32p),
+    )
+    return pos, rc
 
 
 def band_orders(tie, min_scores, bandwidths, start_node, graph, topo_rank,

@@ -11,6 +11,7 @@
 // Build: make -C native (g++ -O3 -shared -fPIC, links zlib).
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -18,13 +19,72 @@
 #include <functional>
 #include <queue>
 #include <string>
+#include <thread>
 #include <tuple>
 #include <vector>
 #include <zlib.h>
 
+#include <csetjmp>
+#include <csignal>
+
+// ---------------------------------------------------------------------------
+// Crash guard: SIGSEGV/SIGBUS -> read attribution + per-call recovery.
+//
+// The reference maps SIGSEGV to the read being processed
+// (ThreadReadAssertion.cpp:8-14, installed AlignerMain.cpp:12-16) so a
+// native crash names the read instead of killing the run silently.
+// Here every crash-prone entry point arms a thread-local sigjmp buffer:
+// a fault inside the guarded region prints the thread's current read
+// context and long-jumps back, and the entry returns its error value —
+// the caller's per-lane/per-read isolation then fails just that lane
+// (better than the reference, which still dies after printing). Faults
+// OUTSIDE a guarded region re-raise with the default handler so
+// unrelated crashes keep their normal behavior.
+// ---------------------------------------------------------------------------
+static thread_local sigjmp_buf ga_crash_jmp;
+static thread_local volatile int ga_crash_armed = 0;
+static thread_local char ga_read_ctx[256] = "unknown";
+
+static void ga_crash_handler(int sig) {
+  if (ga_crash_armed) {
+    ga_crash_armed = 0;
+    siglongjmp(ga_crash_jmp, sig);
+  }
+  signal(sig, SIG_DFL);
+  raise(sig);
+}
+
+// Arm/report helpers; GA_GUARD evaluates to nonzero when recovering
+// from a fault inside the guarded region.
+#define GA_GUARD() \
+  (sigsetjmp(ga_crash_jmp, 1) \
+       ? (fprintf(stderr, \
+                  "Signal %d in native path. Read: %s\n", 11, ga_read_ctx), \
+          fflush(stderr), 1) \
+       : (ga_crash_armed = 1, 0))
+#define GA_UNGUARD() (ga_crash_armed = 0)
+
 extern "C" {
 
 void ga_free(void* p) { free(p); }
+
+// Thread-local read context for crash attribution (reference
+// assertSetRead, ThreadReadAssertion.cpp:19-25).
+void ga_set_read(const char* name) {
+  snprintf(ga_read_ctx, sizeof(ga_read_ctx), "%s",
+           name ? name : "unknown");
+}
+
+// Install the SIGSEGV/SIGBUS handler (reference AlignerMain.cpp:12-16).
+void ga_install_crash_guard() {
+  struct sigaction sa;
+  memset(&sa, 0, sizeof(sa));
+  sa.sa_handler = ga_crash_handler;
+  sigemptyset(&sa.sa_mask);
+  sa.sa_flags = SA_NODEFER;
+  sigaction(SIGSEGV, &sa, nullptr);
+  sigaction(SIGBUS, &sa, nullptr);
+}
 
 // ---------------------------------------------------------------------------
 // gzip
@@ -339,12 +399,11 @@ void ga_gfa_destroy(void* h) { delete (GaGfa*)h; }
 //   moves:   packed words, nibble t = lockstep step t
 //   in_nbrs: [num_nodes * k_in], -1 padded, adjacency order
 // ---------------------------------------------------------------------------
-int64_t ga_decode_moves(const uint32_t* moves, int64_t n_words,
-                        int64_t start_w, int64_t start_row,
-                        const int64_t* node_start, const int64_t* node_end,
-                        const int32_t* pos_to_node,
-                        const int32_t* in_nbrs, int32_t k_in,
-                        int64_t cap, int64_t* out_w, int64_t* out_r) {
+static int64_t ga_decode_moves_impl(
+    const uint32_t* moves, int64_t n_words, int64_t start_w,
+    int64_t start_row, const int64_t* node_start, const int64_t* node_end,
+    const int32_t* pos_to_node, const int32_t* in_nbrs, int32_t k_in,
+    int64_t cap, int64_t* out_w, int64_t* out_r) {
   int64_t w = start_w, row = start_row, n = 0;
   if (n < cap) { out_w[n] = w; out_r[n] = row; n++; } else return -1;
   for (int64_t t = 0; t < n_words * 8; t++) {
@@ -380,6 +439,20 @@ int64_t ga_decode_moves(const uint32_t* moves, int64_t n_words,
   return n;
 }
 
+int64_t ga_decode_moves(const uint32_t* moves, int64_t n_words,
+                        int64_t start_w, int64_t start_row,
+                        const int64_t* node_start, const int64_t* node_end,
+                        const int32_t* pos_to_node,
+                        const int32_t* in_nbrs, int32_t k_in,
+                        int64_t cap, int64_t* out_w, int64_t* out_r) {
+  if (GA_GUARD()) return -2;  // crash -> caller fails just this lane
+  int64_t n = ga_decode_moves_impl(moves, n_words, start_w, start_row,
+                                   node_start, node_end, pos_to_node,
+                                   in_nbrs, k_in, cap, out_w, out_r);
+  GA_UNGUARD();
+  return n;
+}
+
 // ---------------------------------------------------------------------------
 // Band-insertion-order chain replay (counterpart of
 // core/batch_align.py::_band_orders / core/band.py).
@@ -403,28 +476,36 @@ int64_t ga_decode_moves(const uint32_t* moves, int64_t n_words,
 //   orders_out: [K * Nm] node indices, slice-major; counts_out: [K]
 // Returns 0 ok; 1 device/host band mismatch; 2 capacity overflow.
 // ---------------------------------------------------------------------------
-int ga_band_orders(const int32_t* band_ids, const int32_t* node_min,
-                   const int32_t* node_end, const int32_t* min_scores,
-                   const int32_t* bandwidths, int64_t K, int64_t Nm,
-                   int64_t start_node, const int64_t* out_ptr,
-                   const int32_t* out_idx, const int64_t* node_len,
-                   const int32_t* topo_rank, int64_t num_nodes,
-                   int64_t cutoff, int32_t empty_sentinel,
-                   const uint8_t* check_mask,
-                   int32_t* orders_out, int32_t* counts_out) {
+// Reusable scratch for the chain replay: epoch-stamped distance map
+// over graph nodes (sized num_nodes, reused across slices AND lanes so
+// threaded batch callers pay the allocation once per thread).
+struct GaBandScratch {
+  std::vector<int32_t> dist, stamp;
+  int32_t epoch;
+  explicit GaBandScratch(int64_t num_nodes)
+      : dist((size_t)num_nodes, 0), stamp((size_t)num_nodes, -1), epoch(0) {}
+};
+
+static int ga_band_orders_core(
+    const int32_t* band_ids, const int32_t* node_min, const int32_t* node_end,
+    const int32_t* min_scores, const int32_t* bandwidths, int64_t K,
+    int64_t Nm, int64_t start_node, const int64_t* out_ptr,
+    const int32_t* out_idx, const int64_t* node_len, const int32_t* topo_rank,
+    int64_t cutoff, int32_t empty_sentinel, const uint8_t* check_mask,
+    int32_t* orders_out, int32_t* counts_out, GaBandScratch& scr) {
   const int WORD = 64;
   std::vector<int32_t> nodes(1, (int32_t)start_node);
   std::vector<int32_t> nmin(1, 0), nend(1, 0);
   int32_t mins = 0;
-  // epoch-stamped distance map over graph nodes
-  std::vector<int32_t> dist(num_nodes, 0);
-  std::vector<int32_t> stamp(num_nodes, -1);
+  std::vector<int32_t>& dist = scr.dist;
+  std::vector<int32_t>& stamp = scr.stamp;
   // min-heap of (priority, counter, node)
   typedef std::tuple<int32_t, int32_t, int32_t> Entry;
   std::priority_queue<Entry, std::vector<Entry>, std::greater<Entry> > heap;
   std::vector<int32_t> order;
   std::vector<int32_t> perm;
   for (int64_t k = 0; k < K; k++) {
+    int32_t ep = ++scr.epoch;
     int32_t bw = bandwidths[k];
     int32_t expand = bw + WORD;
     order.clear();
@@ -435,7 +516,7 @@ int ga_band_orders(const int32_t* band_ids, const int32_t* node_min,
     for (size_t j = 0; j < nodes.size() && !truncated; j++) {
       if (nmin[j] > mins + bw) continue;
       int32_t node = nodes[j];
-      stamp[node] = (int32_t)(2 * k);
+      stamp[node] = ep;
       dist[node] = 0;
       order.push_back(node);
       width += node_len[node];
@@ -453,8 +534,8 @@ int ga_band_orders(const int32_t* band_ids, const int32_t* node_min,
       int32_t pri = std::get<0>(top);
       int32_t node = std::get<2>(top);
       if (pri > expand) break;
-      if (stamp[node] == (int32_t)(2 * k) && dist[node] <= pri) continue;
-      stamp[node] = (int32_t)(2 * k);
+      if (stamp[node] == ep && dist[node] <= pri) continue;
+      stamp[node] = ep;
       dist[node] = pri;
       order.push_back(node);
       width += node_len[node];
@@ -505,6 +586,26 @@ int ga_band_orders(const int32_t* band_ids, const int32_t* node_min,
   return 0;
 }
 
+int ga_band_orders(const int32_t* band_ids, const int32_t* node_min,
+                   const int32_t* node_end, const int32_t* min_scores,
+                   const int32_t* bandwidths, int64_t K, int64_t Nm,
+                   int64_t start_node, const int64_t* out_ptr,
+                   const int32_t* out_idx, const int64_t* node_len,
+                   const int32_t* topo_rank, int64_t num_nodes,
+                   int64_t cutoff, int32_t empty_sentinel,
+                   const uint8_t* check_mask,
+                   int32_t* orders_out, int32_t* counts_out) {
+  if (GA_GUARD()) return 3;  // crash -> caller falls back / fails the lane
+  GaBandScratch scr(num_nodes);
+  int rc = ga_band_orders_core(band_ids, node_min, node_end, min_scores,
+                               bandwidths, K, Nm, start_node, out_ptr,
+                               out_idx, node_len, topo_rank, cutoff,
+                               empty_sentinel, check_mask, orders_out,
+                               counts_out, scr);
+  GA_UNGUARD();
+  return rc;
+}
+
 // ---------------------------------------------------------------------------
 // vg.Alignment wire encoder (counterpart of io/vg.py Message.encode for
 // the alignment path of core/trace_ops.py trace_to_runs/merge_runs).
@@ -545,7 +646,7 @@ struct MapSizes {
 // rstart indexes into the lane's sequence. div2 halves node ids
 // (digraph -> bigraph, Aligner.cpp:83-91). Returns a malloc'd buffer
 // (caller frees with ga_free) and fills out_off[n+1] payload offsets.
-uint8_t* ga_encode_alignments(
+static uint8_t* ga_encode_alignments_impl(
     const char* names, const int64_t* name_off,
     const char* seqs, const int64_t* seq_off,
     const int64_t* score, const int64_t* qpos, int64_t n,
@@ -621,6 +722,22 @@ uint8_t* ga_encode_alignments(
   uint8_t* buf = (uint8_t*)malloc(out.size() ? out.size() : 1);
   if (!buf) return nullptr;
   memcpy(buf, out.data(), out.size());
+  return buf;
+}
+
+uint8_t* ga_encode_alignments(
+    const char* names, const int64_t* name_off,
+    const char* seqs, const int64_t* seq_off,
+    const int64_t* score, const int64_t* qpos, int64_t n,
+    const int64_t* node_id, const int64_t* offset, const uint8_t* rev,
+    const int64_t* rank, const int64_t* from_len, const int64_t* to_len,
+    const int64_t* rstart, const int64_t* map_off,
+    int div2, int64_t* out_off) {
+  if (GA_GUARD()) return nullptr;  // crash -> Python encode fallback
+  uint8_t* buf = ga_encode_alignments_impl(
+      names, name_off, seqs, seq_off, score, qpos, n, node_id, offset, rev,
+      rank, from_len, to_len, rstart, map_off, div2, out_off);
+  GA_UNGUARD();
   return buf;
 }
 
@@ -757,7 +874,7 @@ struct SliceClosure {
   }
 };
 
-int64_t ga_compute_slice(
+static int64_t ga_compute_slice_impl(
     int64_t C,
     const uint8_t* chain,        // [C]
     const int64_t* edge_ptr,     // [C+1]
@@ -847,6 +964,23 @@ int64_t ga_compute_slice(
   return 1;
 }
 
+int64_t ga_compute_slice(
+    int64_t C, const uint8_t* chain, const int64_t* edge_ptr,
+    const int32_t* edge_to, int64_t n_sp, const int32_t* sp_cell,
+    const int32_t* sp_pred, int64_t n_ps, const int32_t* ps_cell,
+    const int64_t* ps_old, int64_t n_fs, const int32_t* fs_cell,
+    const uint8_t* match, const int64_t* seed_sbs, const int64_t* old_end,
+    const uint8_t* old_flags, int64_t slice_index, int64_t* sbs,
+    uint8_t* sbs_exists, int64_t* rows) {
+  if (GA_GUARD()) return 0;  // crash -> caller falls back to the oracle
+  int64_t ok = ga_compute_slice_impl(
+      C, chain, edge_ptr, edge_to, n_sp, sp_cell, sp_pred, n_ps, ps_cell,
+      ps_old, n_fs, fs_cell, match, seed_sbs, old_end, old_flags,
+      slice_index, sbs, sbs_exists, rows);
+  GA_UNGUARD();
+  return ok;
+}
+
 // ---------------------------------------------------------------------------
 // Multi-node tie resolution (counterpart of the banded-Tarjan scan in
 // core/batch_align.py::resolve_tie / oracle.py::_banded_tarjan,
@@ -864,11 +998,14 @@ int64_t ga_compute_slice(
 // Returns the winning graph position, or -1 when no cell holds `best`
 // (host/device divergence; the caller fails the lane).
 // ---------------------------------------------------------------------------
-int64_t ga_tie_start(const int32_t* order, int64_t n,
-                     const int64_t* out_ptr, const int32_t* out_idx,
-                     const int64_t* node_len, const int64_t* node_start,
-                     const int32_t* topo_rank, const int32_t* sends,
-                     int64_t n_sends, int32_t best) {
+static int64_t ga_tie_start_impl(const int32_t* order, int64_t n,
+                                 const int64_t* out_ptr,
+                                 const int32_t* out_idx,
+                                 const int64_t* node_len,
+                                 const int64_t* node_start,
+                                 const int32_t* topo_rank,
+                                 const int32_t* sends, int64_t n_sends,
+                                 int32_t best) {
   if (n <= 0) return -1;
   // layout: stable sort of the band by topo rank = the device slot
   // order the sends cells follow
@@ -969,6 +1106,95 @@ int64_t ga_tie_start(const int32_t* order, int64_t n,
     }
   }
   return last;
+}
+
+int64_t ga_tie_start(const int32_t* order, int64_t n,
+                     const int64_t* out_ptr, const int32_t* out_idx,
+                     const int64_t* node_len, const int64_t* node_start,
+                     const int32_t* topo_rank, const int32_t* sends,
+                     int64_t n_sends, int32_t best) {
+  if (GA_GUARD()) return -1;  // crash -> caller fails just this lane
+  int64_t pos = ga_tie_start_impl(order, n, out_ptr, out_idx, node_len,
+                                  node_start, topo_rank, sends, n_sends,
+                                  best);
+  GA_UNGUARD();
+  return pos;
+}
+
+// ---------------------------------------------------------------------------
+// Batched multi-node tie resolution: chain replay (ga_band_orders_core)
+// + final-slice last-min scan (ga_tie_start) for W lanes in one call,
+// striped over an internal thread pool. The per-lane Python dispatch
+// overhead (numpy prep + two ctypes calls per lane, GIL-held) was the
+// walk-starts phase's host bottleneck on short-read corpora (~375
+// replays per sim600 chunk); here the host makes ONE call and the
+// lanes run on C++ threads.
+//
+// Inputs are lane-major: band_ids/node_min/node_end [W*Kmax*Nm],
+// min_scores/bandwidths [W*Kmax], check_mask [W*Kmax], sends [W*Cm]
+// (final-slice per-cell last-row scores), Ks/start_nodes/bests [W].
+// Outputs: pos_out [W] winning positions (-1 = no tie winner /
+// divergence), rc_out [W] per-lane chain-replay rc (0 ok, 1 device/
+// host band mismatch, 2 capacity overflow).
+// ---------------------------------------------------------------------------
+int ga_tie_batch(const int32_t* band_ids, const int32_t* node_min,
+                 const int32_t* node_end, const int32_t* min_scores,
+                 const int32_t* bandwidths, const int32_t* Ks,
+                 const int32_t* start_nodes, const uint8_t* check_mask,
+                 const int32_t* sends, const int32_t* bests, int64_t W,
+                 int64_t Kmax, int64_t Nm, int64_t Cm, const int64_t* out_ptr,
+                 const int32_t* out_idx, const int64_t* node_len,
+                 const int64_t* node_start, const int32_t* topo_rank,
+                 int64_t num_nodes, int64_t cutoff, int32_t empty_sentinel,
+                 int32_t nthreads, int64_t* pos_out, int32_t* rc_out) {
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    GaBandScratch scr(num_nodes);
+    std::vector<int32_t> orders((size_t)(Kmax * Nm));
+    std::vector<int32_t> counts((size_t)Kmax);
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= W) break;
+      int64_t K = Ks[i];
+      if (K <= 0) { rc_out[i] = 1; pos_out[i] = -1; continue; }
+      snprintf(ga_read_ctx, sizeof(ga_read_ctx), "tie lane %lld",
+               (long long)i);
+      if (GA_GUARD()) {  // crash in this lane only: mark and move on
+        rc_out[i] = 3;
+        pos_out[i] = -1;
+        continue;
+      }
+      int rc = ga_band_orders_core(
+          band_ids + i * Kmax * Nm, node_min + i * Kmax * Nm,
+          node_end + i * Kmax * Nm, min_scores + i * Kmax,
+          bandwidths + i * Kmax, K, Nm, start_nodes[i], out_ptr, out_idx,
+          node_len, topo_rank, cutoff, empty_sentinel,
+          check_mask + i * Kmax, orders.data(), counts.data(), scr);
+      rc_out[i] = rc;
+      if (rc != 0) {
+        pos_out[i] = -1;
+      } else {
+        int64_t n = counts[(size_t)(K - 1)];
+        pos_out[i] = ga_tie_start_impl(orders.data() + (K - 1) * Nm, n,
+                                       out_ptr, out_idx, node_len,
+                                       node_start, topo_rank,
+                                       sends + i * Cm, Cm, bests[i]);
+      }
+      GA_UNGUARD();
+    }
+  };
+  int64_t T = nthreads;
+  if (T < 1) T = 1;
+  if (T > W) T = W;
+  if (T <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ths;
+    ths.reserve((size_t)T);
+    for (int64_t t = 0; t < T; t++) ths.emplace_back(worker);
+    for (auto& th : ths) th.join();
+  }
+  return 0;
 }
 
 }  // extern "C"
