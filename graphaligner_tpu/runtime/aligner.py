@@ -231,6 +231,12 @@ def _align_reads_impl(
         fastq = queue.pop()  # back-first, like the reference's shared stack
         log(f"thread 0 {len(queue)} left")
         log(f"read {fastq.seq_id} size {len(fastq.sequence)}bp")
+        # native crash attribution (reference assertSetRead,
+        # Aligner.cpp:121): a SIGSEGV inside a native call now names
+        # this read and fails only it
+        from ..io import native as _native
+
+        _native.set_read(fastq.seq_id)
         try:
             if seed_hits is None:
                 result = align_one_way_full_band(
