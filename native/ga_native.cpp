@@ -768,6 +768,7 @@ struct SliceClosure {
   std::vector<std::vector<int32_t>> buckets;
   int64_t sweeps = 0;        // GA_SLICE_STATS telemetry
   int64_t dial_calls = 0;
+  int64_t heap_calls = 0;
 
   int n_edges_total = 0;
   const int32_t* edge_from_flat = nullptr;  // parallel to edge_to (flat)
@@ -800,6 +801,7 @@ struct SliceClosure {
   // Heap Dijkstra fallback for pathological value spreads: identical
   // result to run_dial, no bucket-range assumption at all.
   void run_heap(int64_t* d) {
+    heap_calls++;
     typedef std::pair<int64_t, int32_t> Ent;
     std::priority_queue<Ent, std::vector<Ent>, std::greater<Ent>> pq;
     for (int c = 0; c < C; c++)
@@ -833,13 +835,17 @@ struct SliceClosure {
       if (d[c] > dmax) dmax = d[c];
     }
     if (dmin >= GA_BIG) return;
-    // The bucket range must cover the full FINITE input spread, not just
-    // C: DP scores routinely span more than C+1 (band-source seeds at
-    // seq_len+1 vs small old_end scores), and an out-of-range cell still
-    // has to propagate its value (dropping it silently diverges from the
-    // Python heap closure). Relaxations only emit <= dmax+1, so
-    // spread+2 buckets always suffice; absurd spreads take the heap.
-    int64_t spread = dmax - dmin + 2;
+    // The bucket range must cover the full FINITE input spread (DP
+    // scores routinely span more than C+1: band-source seeds at
+    // seq_len+1 vs small old_end scores) PLUS the closure's growth
+    // headroom: relaxation chains add +1 per step, so a cell reachable
+    // only through a k-step chain from the nearest seed ends at
+    // seed+k — up to dmax + C in the worst case. A bucket index beyond
+    // the range would mean a relaxed cell never re-queues and its
+    // successors silently keep stale values (caught by
+    // test_native_slice_dial_and_heap_fallbacks's reversed-band
+    // ladder). Absurd spreads take the heap.
+    int64_t spread = dmax - dmin + 2 + (int64_t)C;
     if (spread > (int64_t)(1 << 22)) {
       run_heap(d);
       return;
@@ -958,8 +964,10 @@ static int64_t ga_compute_slice_impl(
     prev = cur;
   }
   if (getenv("GA_SLICE_STATS")) {
-    fprintf(stderr, "ga_compute_slice C=%lld sweeps=%lld dial=%lld\n",
-            (long long)C, (long long)cl.sweeps, (long long)cl.dial_calls);
+    fprintf(stderr,
+            "ga_compute_slice C=%lld sweeps=%lld dial=%lld heap=%lld\n",
+            (long long)C, (long long)cl.sweeps, (long long)cl.dial_calls,
+            (long long)cl.heap_calls);
   }
   return 1;
 }
