@@ -63,5 +63,82 @@ def main():
     }))
 
 
+def main_sharded(n_hosts: int):
+    """--sharded N: the component-sharded pangenome mode
+    (parallel.components; BASELINE config 5 class). Builds an N-
+    component pangenome (N disjoint chromosome-class replicas), plans
+    the deterministic component->host assignment, then measures HOST 0
+    only: subgraph build + tables + aligning its routed reads — the
+    quantities that must scale ~1/N for pod-size graphs to fit."""
+    import jax
+
+    from biggraph_util import make_big_vg_multi, make_reads
+    from graphaligner_tpu.core.batch_align import (
+        BandedBatchAligner,
+        align_reads_seeded_batch,
+    )
+    from graphaligner_tpu.core.engine_banded import build_graph_tables
+    from graphaligner_tpu.graph.bigraph import graph_from_vg
+    from graphaligner_tpu.io.fastq import FastQ
+    from graphaligner_tpu.parallel import components as comp
+
+    n_segments = int(os.environ.get("GA_BIG_SEGMENTS", 1_050_000))
+    t0 = time.time()
+    chunks, node_bp, edges, per_comp = make_big_vg_multi(n_segments, n_hosts)
+    t_gen = time.time() - t0
+
+    # reads: 100 per component, seeded on that component's backbone
+    reads_all = []
+    seed_map = {}
+    for k, (backbone, seq) in enumerate(per_comp):
+        g_stub = None
+        for name, s, node in make_reads(
+            seq, 100 // n_hosts + 1, 10_048, g_stub, backbone, seed=5 + k
+        ):
+            name = f"c{k}_{name}"
+            reads_all.append(FastQ(seq_id=name, sequence=s))
+            seed_map[name] = [(node, 0, False)]
+
+    t0 = time.time()
+    uf, host_of_root = comp.shard_plan(node_bp, edges, seed_map, n_hosts)
+    t_plan = time.time() - t0
+    keep0 = {n for n in node_bp if host_of_root[uf.find(n)] == 0}
+    t0 = time.time()
+    g0 = graph_from_vg(chunks, keep=keep0)
+    t_sub = time.time() - t0
+    t0 = time.time()
+    tables0 = build_graph_tables(g0)
+    t_tables = time.time() - t0
+    mine = [
+        r for r in reads_all
+        if host_of_root[uf.find(seed_map[r.seq_id][0][0])] == 0
+    ]
+    aligner = BandedBatchAligner(g0, 35, 0, _tables=tables0)
+    sm = {r.seq_id: seed_map[r.seq_id] for r in mine}
+    align_reads_seeded_batch(g0, aligner, mine, sm)  # warm
+    t0 = time.time()
+    results = align_reads_seeded_batch(g0, aligner, mine, sm)
+    dt = time.time() - t0
+    ok = sum(1 for r in results.values() if not r.alignment_failed)
+    print(json.dumps({
+        "mode": "component-sharded",
+        "hosts": n_hosts,
+        "total_bigraph_nodes": len(node_bp),
+        "host0_bigraph_nodes": len(keep0),
+        "gen_s": round(t_gen, 1),
+        "plan_s": round(t_plan, 1),
+        "host0_subgraph_s": round(t_sub, 1),
+        "host0_tables_s": round(t_tables, 1),
+        "host0_reads": len(mine),
+        "host0_aligned_ok": ok,
+        "host0_align_s": round(dt, 2),
+        "host0_reads_per_s": round(len(mine) / dt, 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--sharded":
+        main_sharded(int(sys.argv[2]))
+    else:
+        main()

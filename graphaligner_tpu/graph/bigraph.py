@@ -29,18 +29,27 @@ def _convert_edge(from_id: int, from_start: bool, to_id: int, to_end: bool):
     return (from_right, to_right), (to_left, from_left)
 
 
-def graph_from_vg(graphs: list[vg.Graph]) -> AlignmentGraph:
+def graph_from_vg(graphs: list[vg.Graph], keep=None) -> AlignmentGraph:
     """Build from vg Graph chunks: all nodes first, then all edges
-    (two passes, reference BigraphToDigraph.cpp:106-135)."""
+    (two passes, reference BigraphToDigraph.cpp:106-135). keep, when
+    given, is a set of bigraph node ids to retain — the component-shard
+    subgraph filter (parallel.components): dropped nodes and any edge
+    touching one are skipped, ids are preserved."""
     g = AlignmentGraph()
     for chunk in graphs:
         for node in chunk.node:
+            if keep is not None and node.id not in keep:
+                continue
             g.add_node(node.id * 2, node.sequence, reverse_node=False)
             g.add_node(
                 node.id * 2 + 1, reverse_complement(node.sequence), reverse_node=True
             )
     for chunk in graphs:
         for edge in chunk.edge:
+            if keep is not None and (
+                edge.from_ not in keep or edge.to not in keep
+            ):
+                continue
             e1, e2 = _convert_edge(edge.from_, edge.from_start, edge.to, edge.to_end)
             g.add_edge(*e1)
             g.add_edge(*e2)
@@ -48,11 +57,11 @@ def graph_from_vg(graphs: list[vg.Graph]) -> AlignmentGraph:
     return g
 
 
-def graph_from_vg_file(path: str) -> AlignmentGraph:
-    return graph_from_vg(stream.read_messages(path, vg.Graph))
+def graph_from_vg_file(path: str, keep=None) -> AlignmentGraph:
+    return graph_from_vg(stream.read_messages(path, vg.Graph), keep=keep)
 
 
-def graph_from_gfa_file(path: str) -> AlignmentGraph:
+def graph_from_gfa_file(path: str, keep=None) -> AlignmentGraph:
     """Build from a GFA file; node sequences are trimmed by the uniform
     edge overlap (reference BigraphToDigraph.cpp:137-189). Note GFA '+'
     orientation maps to from_start=False / to_end=False."""
@@ -95,6 +104,8 @@ def graph_from_gfa_file(path: str) -> AlignmentGraph:
     g = AlignmentGraph()
     g.dbg_overlap = overlap
     for node_id, seq in s_lines:
+        if keep is not None and node_id not in keep:
+            continue
         if len(seq) <= overlap:
             raise ValueError(
                 f"GFA node {node_id}: sequence length {len(seq)} <= overlap {overlap}"
@@ -104,6 +115,8 @@ def graph_from_gfa_file(path: str) -> AlignmentGraph:
         g.add_node(node_id * 2, trimmed, reverse_node=False)
         g.add_node(node_id * 2 + 1, rc_trimmed, reverse_node=True)
     for from_id, from_start, to_id, to_end in l_lines:
+        if keep is not None and (from_id not in keep or to_id not in keep):
+            continue
         e1, e2 = _convert_edge(from_id, from_start, to_id, to_end)
         g.add_edge(*e1)
         g.add_edge(*e2)
@@ -111,11 +124,12 @@ def graph_from_gfa_file(path: str) -> AlignmentGraph:
     return g
 
 
-def load_alignment_graph(path: str) -> AlignmentGraph:
+def load_alignment_graph(path: str, keep=None) -> AlignmentGraph:
     """Load by extension: .vg → vg protobuf, .gfa → GFA
-    (reference Aligner.cpp:207-229)."""
+    (reference Aligner.cpp:207-229). keep = optional bigraph node-id
+    filter (component-shard subgraph, parallel.components)."""
     if path.endswith(".vg"):
-        return graph_from_vg_file(path)
+        return graph_from_vg_file(path, keep=keep)
     if path.endswith(".gfa"):
-        return graph_from_gfa_file(path)
+        return graph_from_gfa_file(path, keep=keep)
     raise ValueError(f"unknown graph format: {path} (expected .vg or .gfa)")

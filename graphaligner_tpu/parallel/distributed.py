@@ -82,6 +82,7 @@ def write_shard_ordinals(
     process_count: int,
     shard_read_ids: list,
     alignments: list,
+    ordinals: list | None = None,
 ) -> str:
     """Sidecar of GLOBAL traversal ordinals, one per shard message.
 
@@ -91,7 +92,8 @@ def write_shard_ordinals(
     k-way-merges payloads by these ordinals instead. Alignments are
     produced in shard traversal order, so matching names in order
     recovers each message's shard position j; the global ordinal is
-    process_index + j * process_count (the strided split)."""
+    ordinals[j] when the caller routed reads explicitly (component
+    sharding), else process_index + j * process_count (strided split)."""
     path = ordinal_path(alignment_file, process_index)
     j = 0
     lines = []
@@ -103,7 +105,13 @@ def write_shard_ordinals(
             raise RuntimeError(
                 f"alignment {name!r} not found in shard read order"
             )
-        lines.append(str(process_index + j * process_count))
+        lines.append(
+            str(
+                ordinals[j]
+                if ordinals is not None
+                else process_index + j * process_count
+            )
+        )
         j += 1
     with open(path, "w") as f:
         f.write("\n".join(lines) + ("\n" if lines else ""))

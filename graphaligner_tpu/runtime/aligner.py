@@ -105,6 +105,7 @@ def align_reads(params: AlignerParams, *args, **kwargs) -> list:
                 process_count,
                 shard_info.get("ids", []),
                 out,
+                ordinals=shard_info.get("ordinals"),
             )
         _dist.barrier()
         if process_index == 0 and params.alignment_file:
@@ -123,6 +124,7 @@ def _align_reads_impl(
     mesh_axis: str = "none",
     process_index: int | None = None,
     process_count: int | None = None,
+    shard_mode: str = "reads",
     _shard_info: dict | None = None,
 ) -> list:
     """Align all reads; returns the list of output vg Alignments.
@@ -170,27 +172,58 @@ def _align_reads_impl(
             else "",
         )
     fastqs = load_fastq(params.fastq_file)
+    graph = None
     if dist:
         from ..parallel import distributed as _dist
 
         # stride over the driver's TRAVERSAL order (back-to-front, the
-        # reference's shared stack) so the round-robin shard merge
+        # reference's shared stack) so the ordinal shard merge
         # reconstructs the single-process output order byte for byte
         traversal = list(reversed(fastqs))
-        shard = _dist.shard_reads_for_host(
-            traversal, process_index, process_count
-        )
+        if shard_mode == "components":
+            # pangenome-scale: each host loads only ITS connected
+            # components and aligns the reads whose seeds live there
+            # (parallel.components; SURVEY §5 distributed bullet)
+            if not params.seed_file:
+                raise ValueError(
+                    "--shard components requires a seed file (-s)"
+                )
+            from ..parallel import components as _comp
+
+            all_seeds = load_seed_hits(
+                params.seed_file, [f.seq_id for f in traversal]
+            )
+            graph, read_host = _comp.load_component_shard(
+                params.graph_file, all_seeds, process_index, process_count
+            )
+            pairs = [
+                (j, f)
+                for j, f in enumerate(traversal)
+                if read_host(f.seq_id) == process_index
+            ]
+            shard = [f for _, f in pairs]
+            ordinals = [j for j, _ in pairs]
+        else:
+            shard = _dist.shard_reads_for_host(
+                traversal, process_index, process_count
+            )
+            ordinals = list(
+                range(process_index, len(traversal), process_count)
+            )
         if _shard_info is not None:
-            # shard read ids in TRAVERSAL order, for the ordinal sidecar
+            # shard read ids in TRAVERSAL order + their global traversal
+            # ordinals, for the ordinal sidecar
             _shard_info["ids"] = [f.seq_id for f in shard]
+            _shard_info["ordinals"] = ordinals
         fastqs = list(reversed(shard))
         log(f"process {process_index}/{process_count}: {len(fastqs)} reads")
     log(f"{len(fastqs)} reads")
     seed_hits = None
     if params.seed_file:
         seed_hits = load_seed_hits(params.seed_file, [f.seq_id for f in fastqs])
-    log(f"load graph from {params.graph_file}")
-    graph = load_alignment_graph(params.graph_file)
+    if graph is None:
+        log(f"load graph from {params.graph_file}")
+        graph = load_alignment_graph(params.graph_file)
     s = graph.stats
     log(f"{s.nodes} nodes\n{s.bp}bp\n{s.edges} edges\n{s.high_in_degree_nodes} nodes with in-degree >= 2")
 

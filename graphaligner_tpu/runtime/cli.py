@@ -41,6 +41,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-processes", type=int, default=0)
     p.add_argument("--process-id", type=int, default=-1)
     p.add_argument(
+        "--shard",
+        default="reads",
+        choices=["reads", "components"],
+        help="multi-host sharding: reads = strided read split, graph "
+        "replicated per host; components = pangenome-scale connected-"
+        "component graph partition, reads routed by seed component "
+        "(requires -s)",
+    )
+    p.add_argument(
         "--mesh",
         default="none",
         choices=["none", "dp"],
@@ -92,6 +101,7 @@ def main(argv=None) -> int:
         mesh_axis=args.mesh,
         process_index=pidx,
         process_count=pcount,
+        shard_mode=args.shard,
     )
     return 0
 

@@ -64,3 +64,46 @@ def make_reads(backbone_seq, n_reads, read_len, graph, backbone,
         seed_node = backbone[start // seg_len]
         reads.append((f"bigread{i}", "".join(sub), seed_node))
     return reads
+
+
+def make_big_vg_multi(n_segments, n_components, seg_len=8, bubble_every=4,
+                      seed=11):
+    """n_components DISJOINT replicas (id-offset copies) of a
+    chr-class backbone+bubble graph, as raw vg lists — the
+    component-sharded pangenome bench shape (each replica = one
+    chromosome-like connected component). Returns
+    (vg_chunks, node_bp, edges, per_comp) where per_comp[k] =
+    (backbone ids, backbone sequence) of component k."""
+    rng = np.random.default_rng(seed)
+    per_seg = n_segments // n_components
+    nodes, edges_vg, edges = [], [], []
+    node_bp = {}
+    per_comp = []
+    nid = 0
+    for k in range(n_components):
+        backbone = []
+        seqs = []
+        prev_tails = []
+        for i in range(per_seg):
+            seq = "".join(rng.choice(BASES, seg_len))
+            nid += 1
+            nodes.append(vg.Node(id=nid, sequence=seq))
+            node_bp[nid] = seg_len
+            backbone.append(nid)
+            seqs.append(seq)
+            for t in prev_tails:
+                edges_vg.append(vg.Edge(from_=t, to=nid))
+                edges.append((t, nid))
+            if (i % bubble_every) == bubble_every - 1 and i + 1 < per_seg:
+                alt_seq = str(rng.choice(BASES))
+                nid += 1
+                nodes.append(vg.Node(id=nid, sequence=alt_seq))
+                node_bp[nid] = 1
+                edges_vg.append(vg.Edge(from_=backbone[-1], to=nid))
+                edges.append((backbone[-1], nid))
+                prev_tails = [backbone[-1], nid]
+            else:
+                prev_tails = [backbone[-1]]
+        per_comp.append((backbone, "".join(seqs)))
+    chunks = [vg.Graph(node=nodes, edge=edges_vg)]
+    return chunks, node_bp, edges, per_comp
