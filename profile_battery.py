@@ -95,10 +95,16 @@ def run_corpus(corpus, tile, label, results, chunk=None, cell_bb=None,
     return entry
 
 
+OUT_PATH = None  # set by main(); importers (tools/ab_*.py) get /tmp
+
+
 def _flush(results):
     """Write partial results after every run so a watchdog timeout
-    mid-battery doesn't lose the completed measurements."""
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/battery.json"
+    mid-battery doesn't lose the completed measurements. Importers that
+    reuse run_corpus flush to /tmp — NOT to sys.argv[1], which for
+    `python -m tools.ab_tlo longsim ...` is the corpus name and used to
+    strand a file literally called `longsim` in the repo root."""
+    out = OUT_PATH or "/tmp/battery_partial.json"
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
 
@@ -108,6 +114,8 @@ def main():
     best config, keep it if longsim reads/s improves >=3%. One TPU
     session yields the best combined config (written as the final
     'best_config' entry) instead of isolated single-knob A/Bs."""
+    global OUT_PATH
+    OUT_PATH = sys.argv[1] if len(sys.argv) > 1 else "/tmp/battery.json"
     results = []
     t_all = time.time()
     tile = int(os.environ.get("GA_BATTERY_TILE", 10))  # smoke: =1 on CPU
