@@ -62,6 +62,20 @@ def walk_moves(*args, K_in, W_cap=448, Bb=256):
     # requested block width — e.g. sim's B=384 with GA_WALK_BB=256)
     while args[0].shape[3] % Bb:
         Bb //= 2
+    # scoped-VMEM guard: the two (1, 6, Cm, Bb) column blocks are
+    # double-buffered across the slice grid dim and the (T_w, Bb) moves
+    # block is resident, so past Mosaic's 16 MiB scoped budget the
+    # compile FAILS (first hit by the 1Mbp fixture's Cm=1152 giant
+    # tier: 16.16M requested). Halve the lane block — a pure scheduling
+    # knob, results are Bb-invariant — until the projection fits with
+    # headroom. Per-lane words: 24*Cm (cols cur+prev, double-buffered)
+    # + 10*Nm (band/lens/pred) + T_w (moves out) + ~220 (codes/state).
+    K1, _, Cm, _B = args[0].shape
+    Nm = args[1].shape[1]
+    T_w = ((K1 - 1) * 112 + 512 + 7) // 8
+    per_lane = 24 * Cm + 10 * Nm + T_w + 220
+    while Bb > 8 and 4 * per_lane * Bb > 15 * 2**20:
+        Bb //= 2
     unroll = int(os.environ.get("GA_WALK_UNROLL", 1))
     key = (shapes, K_in, W_cap, Bb, unroll)
     fn = _JIT_CACHE.get(key)
