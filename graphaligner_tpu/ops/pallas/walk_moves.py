@@ -44,6 +44,30 @@ INF = np.int32(1 << 20)
 _JIT_CACHE: dict = {}
 
 
+def pick_block_width(cols_shape, Nm, Bb):
+    """Lane-block width for a walk signature: Bb must divide B, and the
+    block set must fit Mosaic's 16 MiB scoped-VMEM budget — the two
+    (1, 6, Cm, Bb) column blocks are double-buffered across the slice
+    grid dim and the (T_w, Bb) moves block is resident, so the compile
+    FAILS past the budget (first hit by the 1Mbp fixture's Cm=1152
+    giant tier: 16.16 MiB requested vs 16.00). Per-lane words: 24*Cm
+    (cols cur+prev, double-buffered) + 10*Nm (band/lens/pred) + T_w
+    (moves out) + ~220 (codes/state); halve Bb — a pure scheduling
+    knob, results are Bb-invariant — until that projection fits with
+    1 MiB headroom."""
+    K1, _, Cm, B = cols_shape
+    Bb = min(Bb, B)
+    # (walk batches are padded to a bucket ladder but not to every
+    # requested block width — e.g. sim's B=384 with GA_WALK_BB=256)
+    while B % Bb:
+        Bb //= 2
+    T_w = ((K1 - 1) * 112 + 512 + 7) // 8
+    per_lane = 24 * Cm + 10 * Nm + T_w + 220
+    while Bb > 8 and 4 * per_lane * Bb > 15 * 2**20:
+        Bb //= 2
+    return Bb
+
+
 def walk_moves(*args, K_in, W_cap=448, Bb=256):
     """jit-cached entry (one jit instance per shape signature — see the
     dispatch-fastpath note in core.engine_banded)."""
@@ -56,26 +80,7 @@ def walk_moves(*args, K_in, W_cap=448, Bb=256):
     # each block's lockstep loop runs to the max over more lanes
     # (GA_WALK_BB is the TPU A/B sweep knob)
     Bb = int(os.environ.get("GA_WALK_BB", Bb))
-    Bb = min(Bb, args[0].shape[3])
-    # the grid tiles the batch into B/Bb blocks, so Bb must divide B
-    # (walk batches are padded to a bucket ladder but not to every
-    # requested block width — e.g. sim's B=384 with GA_WALK_BB=256)
-    while args[0].shape[3] % Bb:
-        Bb //= 2
-    # scoped-VMEM guard: the two (1, 6, Cm, Bb) column blocks are
-    # double-buffered across the slice grid dim and the (T_w, Bb) moves
-    # block is resident, so past Mosaic's 16 MiB scoped budget the
-    # compile FAILS (first hit by the 1Mbp fixture's Cm=1152 giant
-    # tier: 16.16M requested). Halve the lane block — a pure scheduling
-    # knob, results are Bb-invariant — until the projection fits with
-    # headroom. Per-lane words: 24*Cm (cols cur+prev, double-buffered)
-    # + 10*Nm (band/lens/pred) + T_w (moves out) + ~220 (codes/state).
-    K1, _, Cm, _B = args[0].shape
-    Nm = args[1].shape[1]
-    T_w = ((K1 - 1) * 112 + 512 + 7) // 8
-    per_lane = 24 * Cm + 10 * Nm + T_w + 220
-    while Bb > 8 and 4 * per_lane * Bb > 15 * 2**20:
-        Bb //= 2
+    Bb = pick_block_width(args[0].shape, args[1].shape[1], Bb)
     unroll = int(os.environ.get("GA_WALK_UNROLL", 1))
     key = (shapes, K_in, W_cap, Bb, unroll)
     fn = _JIT_CACHE.get(key)

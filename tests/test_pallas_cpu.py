@@ -81,3 +81,26 @@ def test_full_production_path_on_cpu(monkeypatch):
     monkeypatch.setenv("GA_FORCE_MOVES", "1")
     prod = _run(graph, reads, seeds)
     assert prod == base
+
+
+def test_walk_block_width_respects_vmem_budget():
+    """The walk kernel's lane-block picker must (a) clamp the 1Mbp giant
+    tier that overflowed Mosaic's 16 MiB scoped VMEM (Cm=1152, 236-slice
+    window, B=128 -> 16.16 MiB at Bb=128), (b) leave every benched
+    production signature at its swept block width, (c) keep Bb a divisor
+    of B."""
+    from graphaligner_tpu.ops.pallas.walk_moves import pick_block_width
+
+    # (a) the observed 1Mbp failure signature halves to 64
+    assert pick_block_width((236, 7, 1152, 128), 32, 256) == 64
+    # (b) benched signatures keep their widths: longsim whole-table walk
+    # (Cm=288, ~158 slices, B=256) and sim (Cm=288, ~11 slices, B=384)
+    assert pick_block_width((158, 7, 288, 256), 32, 256) == 256
+    assert pick_block_width((11, 7, 288, 384), 32, 256) == 128  # 384%256 -> 128
+    # (c) divisibility and the projection both hold for the chosen width
+    for shape, nm in [((236, 7, 1152, 128), 32), ((500, 7, 576, 256), 32)]:
+        bb = pick_block_width(shape, nm, 256)
+        K1, _, cm, b = shape
+        assert b % bb == 0
+        t_w = ((K1 - 1) * 112 + 512 + 7) // 8
+        assert 4 * (24 * cm + 10 * nm + t_w + 220) * bb <= 15 * 2**20
