@@ -652,10 +652,17 @@ class BandedBatchAligner:
         # columns + the small per-slice tables survive), and the
         # backtrace recomputes one window at a time (_walk_long)
         true_S = max(1, max(len(seq) // WORD_SIZE for seq, _ in problems))
-        long_mode = S_max > self.LONG_WINDOW
+        # effective window: LONG_WINDOW, shrunk when this tier's Cm makes
+        # a 320-slice walk window bust Mosaic's scoped-VMEM budget at the
+        # Bb=128 lane-block floor (Cm=1152 -> 176; benched tiers Cm<=576
+        # are unaffected — see ops.pallas.walk_moves.max_window_slices)
+        from ..ops.pallas.walk_moves import max_window_slices
+
+        window = min(self.LONG_WINDOW, max_window_slices(self.Cm, self.Nm))
+        long_mode = S_max > window
         rounds_cap = self.max_rounds
         if long_mode:
-            S_max = self.LONG_WINDOW
+            S_max = window
             rounds_cap = max(
                 self.max_rounds, -(-true_S // S_max) + 4
             )

@@ -44,28 +44,54 @@ INF = np.int32(1 << 20)
 _JIT_CACHE: dict = {}
 
 
+# Mosaic's scoped-VMEM budget is 16 MiB and a compile that exceeds it
+# FAILS (first hit by the 1Mbp fixture's Cm=1152 giant tier: 16.16 MiB
+# requested vs 16.00). The walk kernel's VMEM projection, in int32
+# words per lane: the two (1, 6, Cm, Bb) column blocks are
+# double-buffered across the slice grid dim (24*Cm), the five Nm-deep
+# band/lens/pred blocks likewise (10*Nm), the (T_w, Bb) moves block is
+# resident, and codes/state add ~220. Validated against the observed
+# failure within 0.1%. We size against 15 MiB for 1 MiB headroom.
+_VMEM_BUDGET_WORDS = 15 * 2**20 // 4
+
+
+def _per_lane_words(Cm, Nm, K):
+    T_w = (K * 112 + 512 + 7) // 8
+    return 24 * Cm + 10 * Nm + T_w + 220
+
+
 def pick_block_width(cols_shape, Nm, Bb):
-    """Lane-block width for a walk signature: Bb must divide B, and the
-    block set must fit Mosaic's 16 MiB scoped-VMEM budget — the two
-    (1, 6, Cm, Bb) column blocks are double-buffered across the slice
-    grid dim and the (T_w, Bb) moves block is resident, so the compile
-    FAILS past the budget (first hit by the 1Mbp fixture's Cm=1152
-    giant tier: 16.16 MiB requested vs 16.00). Per-lane words: 24*Cm
-    (cols cur+prev, double-buffered) + 10*Nm (band/lens/pred) + T_w
-    (moves out) + ~220 (codes/state); halve Bb — a pure scheduling
-    knob, results are Bb-invariant — until that projection fits with
-    1 MiB headroom."""
+    """Lane-block width for a walk signature: Bb must divide B and —
+    Mosaic's lane-dim rule — be a multiple of 128 (or equal to B), and
+    the block set must fit the scoped-VMEM budget. Halving Bb is a pure
+    scheduling knob (results are Bb-invariant). Bb floors at 128; the
+    window sizing (max_window_slices) is responsible for keeping the
+    per-lane projection feasible at that floor."""
     K1, _, Cm, B = cols_shape
     Bb = min(Bb, B)
     # (walk batches are padded to a bucket ladder but not to every
     # requested block width — e.g. sim's B=384 with GA_WALK_BB=256)
     while B % Bb:
         Bb //= 2
-    T_w = ((K1 - 1) * 112 + 512 + 7) // 8
-    per_lane = 24 * Cm + 10 * Nm + T_w + 220
-    while Bb > 8 and 4 * per_lane * Bb > 15 * 2**20:
+    per_lane = _per_lane_words(Cm, Nm, K1 - 1)
+    while Bb > 128 and per_lane * Bb > _VMEM_BUDGET_WORDS:
         Bb //= 2
     return Bb
+
+
+def max_window_slices(Cm, Nm):
+    """Largest walk-window slice count whose VMEM projection fits at
+    the Bb=128 floor — the long-mode window cap for a capacity tier.
+    Cm<=576 (every benched tier) stays above the 320-slice LONG_WINDOW,
+    so only giant retry tiers (Cm>=1152 -> 176) shrink their windows.
+    Floored at 32: tiers whose column blocks alone bust the budget
+    (Cm>=1792 at a 128-lane batch) cannot fit any window and keep their
+    pre-existing behavior."""
+    budget = _VMEM_BUDGET_WORDS // 128
+    k = 32
+    while _per_lane_words(Cm, Nm, k + 16) <= budget:
+        k += 16
+    return k
 
 
 def walk_moves(*args, K_in, W_cap=448, Bb=256):

@@ -84,23 +84,33 @@ def test_full_production_path_on_cpu(monkeypatch):
 
 
 def test_walk_block_width_respects_vmem_budget():
-    """The walk kernel's lane-block picker must (a) clamp the 1Mbp giant
-    tier that overflowed Mosaic's 16 MiB scoped VMEM (Cm=1152, 236-slice
-    window, B=128 -> 16.16 MiB at Bb=128), (b) leave every benched
-    production signature at its swept block width, (c) keep Bb a divisor
-    of B."""
-    from graphaligner_tpu.ops.pallas.walk_moves import pick_block_width
+    """The walk kernel's VMEM sizing: Bb halves down to the Mosaic
+    lane-dim floor of 128, and the per-tier window cap keeps the Bb=128
+    projection inside the 15 MiB budget for the giant tiers the 1Mbp
+    fixture reaches (Cm=1152 overflowed the real chip's 16 MiB scoped
+    VMEM at a 236-slice window before the cap)."""
+    from graphaligner_tpu.ops.pallas.walk_moves import (
+        _VMEM_BUDGET_WORDS,
+        _per_lane_words,
+        max_window_slices,
+        pick_block_width,
+    )
 
-    # (a) the observed 1Mbp failure signature halves to 64
-    assert pick_block_width((236, 7, 1152, 128), 32, 256) == 64
-    # (b) benched signatures keep their widths: longsim whole-table walk
-    # (Cm=288, ~158 slices, B=256) and sim (Cm=288, ~11 slices, B=384)
+    # Bb floors at 128 (Mosaic: last block dim must be a multiple of
+    # 128 or equal B) — the giant tier cannot shrink below it
+    assert pick_block_width((236, 7, 1152, 128), 32, 256) == 128
+    # a 256-lane giant-tier batch halves 256 -> 128 to shed half the
+    # block bytes
+    assert pick_block_width((100, 7, 1152, 256), 32, 256) == 128
+    # benched signatures keep their swept widths: longsim whole-table
+    # walk (Cm=288, ~158 slices, B=256) and sim (B=384: 384%256 -> 128)
     assert pick_block_width((158, 7, 288, 256), 32, 256) == 256
-    assert pick_block_width((11, 7, 288, 384), 32, 256) == 128  # 384%256 -> 128
-    # (c) divisibility and the projection both hold for the chosen width
-    for shape, nm in [((236, 7, 1152, 128), 32), ((500, 7, 576, 256), 32)]:
-        bb = pick_block_width(shape, nm, 256)
-        K1, _, cm, b = shape
-        assert b % bb == 0
-        t_w = ((K1 - 1) * 112 + 512 + 7) // 8
-        assert 4 * (24 * cm + 10 * nm + t_w + 220) * bb <= 15 * 2**20
+    assert pick_block_width((11, 7, 288, 384), 32, 256) == 128
+    # the window cap makes the Bb=128 projection feasible where the
+    # fixed 320-slice LONG_WINDOW was not: Cm=1152 caps at 176 slices
+    # and fits; benched tiers keep LONG_WINDOW (cap >= 320)
+    assert max_window_slices(1152, 32) == 176
+    assert _per_lane_words(1152, 32, 176) * 128 <= _VMEM_BUDGET_WORDS
+    assert _per_lane_words(1152, 32, 320) * 128 > _VMEM_BUDGET_WORDS
+    assert max_window_slices(288, 32) >= 320
+    assert max_window_slices(576, 32) >= 320
