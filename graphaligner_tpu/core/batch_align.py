@@ -233,6 +233,18 @@ def _pad_lead(arr, fill):
     return jnp.concatenate([pad, arr], axis=0)
 
 
+def _quantize_k(k: int) -> int:
+    """Walk-kernel slice-grid ladder: {32, 160, 320, ...} — the same
+    tiny signature ladder as the scan (leading pad slices have no
+    active lane, so their grid steps skip the lockstep loop)."""
+    if k <= 32:
+        return 32
+    cap = 160
+    while cap < k:
+        cap *= 2
+    return cap
+
+
 def _walk_init_state(Bp, keeps, sslot, soff, sscore):
     """Fresh walk lane state [16, Bp] (kernel row layout: sk, row_in,
     slot, off, here, done, fail, needs_col, 5 cache words, spares)."""
@@ -1005,17 +1017,7 @@ class BandedBatchAligner:
 
         from ..io import native
 
-        K_max = int(max(keeps[i] for i in walk_idx))
-        # quantize the walk kernel's slice-grid length to the same tiny
-        # signature ladder as the scan (leading pad slices have no
-        # active lane, so their grid steps skip the lockstep loop)
-        if K_max > 32:
-            cap = 160
-            while cap < K_max:
-                cap *= 2
-            K_max = cap
-        else:
-            K_max = 32
+        K_max = _quantize_k(int(max(keeps[i] for i in walk_idx)))
 
         use_moves = (
             (
@@ -1078,27 +1080,60 @@ class BandedBatchAligner:
     def _walk_moves_dispatch(self, problems, lanes, keeps, walk_idx, starts, K_max):
         """Move-encoded Pallas walk dispatch (collect fetches + decodes):
         ~6KB of 4-bit move codes per 10kb read across the remote-TPU link
-        instead of ~100KB of (position, row) pairs."""
-        from ..io import native
-        from ..ops.pallas import walk_moves as wm
+        instead of ~100KB of (position, row) pairs.
 
-        B = len(lanes)
-        cols_tab, band_tab, lens_tab, pred_tab, codes_tab = self._consolidate(
-            lanes, keeps, K_max, "perslice"
-        )
-        # pad the batch to a 128-lane multiple for the kernel
+        Lanes are GROUPED by quantized table length and split into
+        <=GA_WALK_DISP_B-lane blocks, each dispatched as its own kernel
+        call: short (backward-extension) lanes stop paying the long
+        lanes' padded moves buffer (+ its fetch bytes), and block k+1's
+        kernel overlaps block k's moves fetch + native decode — the
+        walk pipeline the single-chunk short-read regime otherwise
+        lacks. Pure scheduling: per-lane results are unchanged."""
+        starts_map = dict(zip(walk_idx, starts))
+        disp_b = int(_os.environ.get("GA_WALK_DISP_B", 256))
+        groups: dict = {}
+        for i in walk_idx:
+            groups.setdefault(_quantize_k(int(keeps[i])), []).append(i)
+        mv_blocks = []
+        for kq in sorted(groups, reverse=True):
+            g = groups[kq]
+            if disp_b <= 0:
+                blocks = [g]
+            else:
+                blocks = [g[j : j + disp_b] for j in range(0, len(g), disp_b)]
+            for blk in blocks:
+                mv_blocks.append(
+                    self._walk_moves_dispatch_block(
+                        problems, lanes, keeps, blk, starts_map, kq
+                    )
+                )
+        return mv_blocks
+
+    def _walk_moves_dispatch_block(
+        self, problems, lanes, keeps, blk, starts_map, K_max
+    ):
+        """One walk-kernel dispatch over lane subset `blk` (table length
+        quantized to K_max slices). Returns the collect token; nothing
+        here blocks on device results."""
         import jax.numpy as jnp
 
-        Bp = max(128, -(-B // 128) * 128)
-        if Bp != B:
-            cols_tab = jnp.pad(cols_tab, ((0, 0),) * 3 + ((0, Bp - B),))
+        from ..ops.pallas import walk_moves as wm
+
+        n = len(blk)
+        cols_tab, band_tab, lens_tab, pred_tab, codes_tab = self._consolidate(
+            lanes, keeps, K_max, "perslice", subset=blk
+        )
+        # pad the block to a 128-lane multiple for the kernel
+        Bp = max(128, -(-n // 128) * 128)
+        if Bp != n:
+            cols_tab = jnp.pad(cols_tab, ((0, 0),) * 3 + ((0, Bp - n),))
             band_tab = jnp.pad(
-                band_tab, ((0, 0), (0, 0), (0, Bp - B)), constant_values=int(EMPTY)
+                band_tab, ((0, 0), (0, 0), (0, Bp - n)), constant_values=int(EMPTY)
             )
-            lens_tab = jnp.pad(lens_tab, ((0, 0), (0, 0), (0, Bp - B)))
-            pred_tab = jnp.pad(pred_tab, ((0, 0), (0, 0), (0, Bp - B)))
+            lens_tab = jnp.pad(lens_tab, ((0, 0), (0, 0), (0, Bp - n)))
+            pred_tab = jnp.pad(pred_tab, ((0, 0), (0, 0), (0, Bp - n)))
             if codes_tab is not None:
-                codes_tab = jnp.pad(codes_tab, ((0, 0), (0, 0), (0, Bp - B)))
+                codes_tab = jnp.pad(codes_tab, ((0, 0), (0, 0), (0, Bp - n)))
         from .backtrace_device import _BT_MATCH
 
         bits_lut = np.zeros(_BT_MATCH.shape[0], dtype=np.int32)
@@ -1109,14 +1144,14 @@ class BandedBatchAligner:
             # relayout + re-upload the uint8 codes; device-side match
             # mask expansion either way (the mask table is 4x the bytes)
             L = K_max * WORD_SIZE
-            codes = self._codes[:, :L]
+            codes = self._codes[blk, :L]
             if codes.shape[1] < L:
                 codes = np.pad(codes, ((0, 0), (0, L - codes.shape[1])))
             codes8 = np.ascontiguousarray(
-                codes.reshape(B, K_max, WORD_SIZE).transpose(1, 2, 0)
+                codes.reshape(n, K_max, WORD_SIZE).transpose(1, 2, 0)
             )
-            if Bp != B:
-                codes8 = np.pad(codes8, ((0, 0), (0, 0), (0, Bp - B)))
+            if Bp != n:
+                codes8 = np.pad(codes8, ((0, 0), (0, 0), (0, Bp - n)))
         else:
             # device-resident: gathered by _consolidate from the scan's
             # codes passthrough — nothing multi-MB crosses the link
@@ -1127,18 +1162,22 @@ class BandedBatchAligner:
             if Bp != len(a):
                 a = np.pad(a, (0, Bp - len(a)))
             return a[None, :]
-        sslot = np.zeros(B, np.int32)
-        soff = np.zeros(B, np.int32)
-        sscore = np.zeros(B, np.int32)
-        sw = np.zeros(B, np.int64)
-        for i, (w0, slot0, off0) in zip(walk_idx, starts):
-            sslot[i] = slot0
-            soff[i] = off0
-            sw[i] = w0
-            sscore[i] = lanes[i].accepted[int(keeps[i]) - 1].min_score
-        seed_nodes = np.array([p[1] for p in problems], dtype=np.int32)
+
+        keeps_b = np.zeros(n, np.int32)
+        sslot = np.zeros(n, np.int32)
+        soff = np.zeros(n, np.int32)
+        sscore = np.zeros(n, np.int32)
+        sw = np.zeros(n, np.int64)
+        for bi, i in enumerate(blk):
+            w0, slot0, off0 = starts_map[i]
+            keeps_b[bi] = keeps[i]
+            sslot[bi] = slot0
+            soff[bi] = off0
+            sw[bi] = w0
+            sscore[bi] = lanes[i].accepted[int(keeps[i]) - 1].min_score
+        seed_nodes = np.array([problems[i][1] for i in blk], dtype=np.int32)
         init_state = _walk_init_state(
-            Bp, row1(keeps)[0], row1(sslot)[0], row1(soff)[0],
+            Bp, row1(keeps_b)[0], row1(sslot)[0], row1(soff)[0],
             row1(sscore)[0],
         )
         # whole-table walk = one window with base 0; tables grow a
@@ -1150,7 +1189,7 @@ class BandedBatchAligner:
             _pad_lead(pred_tab, 0),
             _pad_lead(codes8, 0),
             bits_lut,
-            row1(self._seq_lens),
+            row1(self._seq_lens[blk]),
             row1(seed_nodes),
             np.zeros((1, Bp), np.int32),
             init_state,
@@ -1174,41 +1213,25 @@ class BandedBatchAligner:
                     pass
         return (
             lo_dev, moves_dev, T_lo, used_dev, fail_dev, lanes, keeps,
-            walk_idx, sw, K_max,
+            blk, sw, K_max,
         )
 
-    def _walk_moves_collect(self, mv, results):
+    def _walk_moves_collect(self, mv_blocks, results):
         from ..io import native
 
-        (lo_dev, moves_dev, T_lo, used_dev, fail_dev, lanes, keeps,
-         walk_idx, sw, K_max) = mv
-        rows = int(np.asarray(used_dev).max()) // 8 + 1
-        if rows <= T_lo:
-            src = lo_dev
-        else:
-            # over-run: fetch the FULL buffer (already materialized on
-            # device — a tail slice would compile a fresh signature)
-            src = moves_dev
-        moves = np.ascontiguousarray(np.asarray(src)).view(np.uint32)
-        fail = np.asarray(fail_dev)[0]
         t = self.tables
         node_start64 = np.ascontiguousarray(self.graph.node_start, dtype=np.int64)
         node_end64 = np.ascontiguousarray(self.graph.node_end, dtype=np.int64)
         pos2node = np.ascontiguousarray(t.pos_to_node)
         in_nbrs = np.ascontiguousarray(t.in_nbrs)
-        cap = K_max * WORD_SIZE * 3 + 64
-        live = [i for i in walk_idx if not fail[i]]
-        for i in walk_idx:
-            if fail[i]:
-                lanes[i].failed = True
 
-        def decode_one(i):
+        def decode_one(moves, col, i, w0, keep, cap):
             try:
                 native.set_read(f"walk decode lane {i}")
                 return native.decode_moves(
-                    np.ascontiguousarray(moves[:, i]),
-                    int(sw[i]),
-                    int(keeps[i]) * WORD_SIZE - 1,
+                    np.ascontiguousarray(moves[:, col]),
+                    w0,
+                    keep * WORD_SIZE - 1,
                     node_start64,
                     node_end64,
                     pos2node,
@@ -1221,9 +1244,35 @@ class BandedBatchAligner:
         # the native decoder is stateless and ctypes releases the GIL for
         # the C call, so the per-lane decodes run on a worker pool
         # (reference analog: the per-thread backtrace halves of
-        # Aligner.cpp:275-298)
-        decoded = list(_decode_pool().map(decode_one, live))
-        for i, arr in zip(live, decoded):
+        # Aligner.cpp:275-298); decode futures resolve only after EVERY
+        # block's moves landed, so block k's decode overlaps block k+1's
+        # kernel + fetch
+        pool = _decode_pool()
+        pending = []
+        for mv in mv_blocks:
+            (lo_dev, moves_dev, T_lo, used_dev, fail_dev, lanes, keeps,
+             blk, sw, K_max) = mv
+            rows = int(np.asarray(used_dev).max()) // 8 + 1
+            if rows <= T_lo:
+                src = lo_dev
+            else:
+                # over-run: fetch the FULL buffer (already materialized on
+                # device — a tail slice would compile a fresh signature)
+                src = moves_dev
+            moves = np.ascontiguousarray(np.asarray(src)).view(np.uint32)
+            fail = np.asarray(fail_dev)[0]
+            cap = K_max * WORD_SIZE * 3 + 64
+            for col, i in enumerate(blk):
+                if fail[col]:
+                    lanes[i].failed = True
+                    continue
+                fut = pool.submit(
+                    decode_one, moves, col, i, int(sw[col]),
+                    int(keeps[i]), cap,
+                )
+                pending.append((lanes, i, fut))
+        for lanes, i, fut in pending:
+            arr = fut.result()
             lane = lanes[i]
             if arr is False or arr is None or len(arr) < 1 or arr[0, 1] != 0:
                 lane.failed = True
@@ -1559,17 +1608,21 @@ class BandedBatchAligner:
                 starts[w] = s
         return starts
 
-    def _consolidate(self, lanes, keeps, K_max, layout):
+    def _consolidate(self, lanes, keeps, K_max, layout, *, subset=None):
         """Gather per-lane table slices from each round's device-resident
         outputs. layout 'flat' -> (cols [7, B, K*Cm], band [K, Nm, B]) for
         the XLA walk; 'perslice' -> (cols [K, 7, Cm, B], band, lens, pred
-        tabs [K, Nm, B]) for the Pallas move-walk kernel."""
+        tabs [K, Nm, B]) for the Pallas move-walk kernel. subset = a list
+        of lane indices to gather (table column b = lane subset[b]); the
+        walk dispatch groups lanes by table length so short (backward)
+        lanes stop paying the long lanes' padded slices."""
         import jax.numpy as jnp
 
-        B = len(lanes)
+        idx_list = list(range(len(lanes))) if subset is None else list(subset)
+        B = len(idx_list)
         rounds = []
-        for lane in lanes:
-            for rec in lane.accepted:
+        for li in idx_list:
+            for rec in lanes[li].accepted:
                 if rec.rnd not in rounds:
                     rounds.append(rec.rnd)
         # all tables are gathered on DEVICE (band/lens/pred feed the walk
@@ -1585,19 +1638,20 @@ class BandedBatchAligner:
         for rnd in rounds:
             steps = np.zeros((K_max, B), dtype=np.int32)
             mask = np.zeros((K_max, B), dtype=bool)
-            for i, lane in enumerate(lanes):
+            for bi, li in enumerate(idx_list):
+                lane = lanes[li]
                 if lane.failed:
                     continue
-                for k, rec in enumerate(lane.accepted[: int(keeps[i])]):
+                for k, rec in enumerate(lane.accepted[: int(keeps[li])]):
                     if rec.rnd is rnd:
-                        steps[k, i] = rec.step
-                        mask[k, i] = True
+                        steps[k, bi] = rec.step
+                        mask[k, bi] = True
             # map batch lanes: lane i occupies rec.lane_in_round in rnd
             lane_pos = np.zeros(B, dtype=np.int32)
-            for i, lane in enumerate(lanes):
-                for rec in lane.accepted:
+            for bi, li in enumerate(idx_list):
+                for rec in lanes[li].accepted:
                     if rec.rnd is rnd:
-                        lane_pos[i] = rec.lane_in_round
+                        lane_pos[bi] = rec.lane_in_round
                         break
             steps_d = jnp.asarray(steps)[:, None, :]  # [K_max, 1, B]
             mask_d = jnp.asarray(mask)[:, None, :]
