@@ -181,6 +181,10 @@ def banded_scan(
     import os as _os_u
 
     unroll = int(_os_u.environ.get("GA_UNROLL", unroll))
+    # GA_ABLATE: scan-phase cost decomposition for on-chip probes
+    # (noproj / nofix / nocells). OUTPUTS ARE WRONG under ablation —
+    # probe tools only; part of the jit key like unroll.
+    _ablate = _ablate or _os_u.environ.get("GA_ABLATE") or None
     # the pairwise dedup compares (rank, pri) as two int32 fields (same
     # node => same rank), so there is NO graph-size ceiling; the optional
     # sort-based dedup packs rank*1024+pri into one int32 key and only
