@@ -80,6 +80,14 @@ def main():
     print(json.dumps({
         "metric": "mesh_overhead",
         "unit": "reads/s per device count (1 physical core: ideal = flat)",
+        "note": (
+            "OVERHEAD curve, not scaling evidence: all N virtual devices "
+            "time-slice ONE physical CPU core, so reads/s falling with N "
+            "measures sharding/collective overhead only. Real multi-chip "
+            "efficiency is unmeasured in this environment (no multi-chip "
+            "hardware); byte-identity of the sharded pipeline is the "
+            "correctness evidence (tests/test_parallel.py, dryrun)."
+        ),
         "per_devices": results,
     }))
 

@@ -1030,7 +1030,7 @@ class BandedBatchAligner:
         )
         if use_moves:
             mv = self._walk_moves_dispatch(
-                problems, lanes, keeps, walk_idx, starts, K_max
+                problems, lanes, keeps, walk_idx, starts
             )
             return ("moves", results, mv)
         return ("xla", results, (problems, lanes, keeps, walk_idx, starts, K_max))
@@ -1077,7 +1077,7 @@ class BandedBatchAligner:
             ) * WORD_SIZE
             results[i] = (score, arr, int(keeps[i]), cells)
 
-    def _walk_moves_dispatch(self, problems, lanes, keeps, walk_idx, starts, K_max):
+    def _walk_moves_dispatch(self, problems, lanes, keeps, walk_idx, starts):
         """Move-encoded Pallas walk dispatch (collect fetches + decodes):
         ~6KB of 4-bit move codes per 10kb read across the remote-TPU link
         instead of ~100KB of (position, row) pairs.
@@ -2665,6 +2665,36 @@ class BandedBatchAligner:
 # =========================================================================
 
 
+def seed_extension_problems(graph: AlignmentGraph, sequence: str, seed):
+    """The two extension problems one seed spawns (reference
+    getSplitAlignment, GraphAligner.h:2969-3024): the RC'd backward
+    prefix (seeded at the opposite-orientation node, extended by
+    dbg_overlap) and the forward suffix. Returns (bw, fw), each a
+    (padded_sequence, start_node_index) pair or None when that side is
+    empty. Shared by align_reads_seeded_batch and tools/probe_scan so
+    the probe always measures the production workload."""
+    from ..io.sequences import reverse_complement
+
+    node_id, pos, reverse = seed
+    if reverse:
+        fw_node = graph.node_lookup[node_id * 2 + 1]
+        bw_node = graph.node_lookup[node_id * 2]
+    else:
+        fw_node = graph.node_lookup[node_id * 2]
+        bw_node = graph.node_lookup[node_id * 2 + 1]
+    bw = fw = None
+    if pos > 0:
+        bw = (
+            _pad_to_word(
+                reverse_complement(sequence[: pos + graph.dbg_overlap])
+            ),
+            bw_node,
+        )
+    if pos < len(sequence) - 1:
+        fw = (_pad_to_word(sequence[pos:]), fw_node)
+    return bw, fw
+
+
 def align_reads_seeded_batch(
     graph: AlignmentGraph,
     aligner: BandedBatchAligner,
@@ -2829,27 +2859,14 @@ def align_reads_seeded_batch(
                 break
             if seed is None:
                 continue
-            node_id, pos, reverse = seed
-            if reverse:
-                fw_node = graph.node_lookup[node_id * 2 + 1]
-                bw_node = graph.node_lookup[node_id * 2]
-            else:
-                fw_node = graph.node_lookup[node_id * 2]
-                bw_node = graph.node_lookup[node_id * 2 + 1]
-            sequence = s["read"].sequence
+            bw, fw = seed_extension_problems(graph, s["read"].sequence, seed)
             fw_i = bw_i = None
-            if pos > 0:
-                from ..io.sequences import reverse_complement
-
-                bw_seq = _pad_to_word(
-                    reverse_complement(sequence[: pos + graph.dbg_overlap])
-                )
+            if bw is not None:
                 bw_i = len(problems)
-                problems.append((bw_seq, bw_node))
-            if pos < len(sequence) - 1:
-                fw_seq = _pad_to_word(sequence[pos:])
+                problems.append(bw)
+            if fw is not None:
                 fw_i = len(problems)
-                problems.append((fw_seq, fw_node))
+                problems.append(fw)
             wave.append((s, seed, fw_i, bw_i))
 
         if not wave:

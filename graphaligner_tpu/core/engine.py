@@ -21,8 +21,10 @@ force with a huge bandwidth) with fully static shapes. The banded device
 engine reuses this machinery with a fixed-capacity band (future work).
 
 Graph positions are processed in topological order of the SCC
-condensation via `lax.scan`; cyclic graphs currently fall back to the
-host oracle (in-kernel fixpoint planned). Slice results are stored
+condensation via `lax.scan`; cyclic graphs converge through the
+in-scan Bellman-Ford fixpoint over whole-slice passes (fix_cond /
+fix_body below; non-convergence within the pass cap raises — there is
+no silent host fallback). Slice results are stored
 bit-packed (VP/VN uint32 pairs + boundary scores — the WordSlice storage
 layout, NodeSlice.h:15-31) and handed to the unchanged host backtrace.
 """

@@ -183,8 +183,19 @@ def banded_scan(
     unroll = int(_os_u.environ.get("GA_UNROLL", unroll))
     # GA_ABLATE: scan-phase cost decomposition for on-chip probes
     # (noproj / nofix / nocells). OUTPUTS ARE WRONG under ablation —
-    # probe tools only; part of the jit key like unroll.
+    # probe tools only; part of the jit key like unroll. A leaked env
+    # var must not masquerade as a valid run (the repo's core invariant
+    # is bit-identical output), so every ablated scan shouts on stderr.
     _ablate = _ablate or _os_u.environ.get("GA_ABLATE") or None
+    if _ablate:
+        import sys as _sys
+
+        print(
+            f"*** GA_ABLATE={_ablate}: ABLATED SCAN — OUTPUTS ARE WRONG "
+            "(probe mode; unset GA_ABLATE for real runs) ***",
+            file=_sys.stderr,
+            flush=True,
+        )
     # the pairwise dedup compares (rank, pri) as two int32 fields (same
     # node => same rank), so there is NO graph-size ceiling; the optional
     # sort-based dedup packs rank*1024+pri into one int32 key and only

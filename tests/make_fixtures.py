@@ -129,6 +129,46 @@ def main():
             cwd=outdir,
         )
 
+    # gwws_fail_ex1.vg: the reference repo's historical crash-regression
+    # graph (/root/reference/test/gwws_fail_ex1.vg — a ~296bp bubble
+    # chain that broke a past engine). Simulate short reads over it and
+    # golden both bandwidth configs (test_gwws.py byte-identity).
+    gwwsdir = os.path.join(FIXTURES, "gwws")
+    os.makedirs(gwwsdir, exist_ok=True)
+    gwws_graph = os.path.join(FIXTURES, "gwws_fail_ex1.vg")
+    run(
+        [
+            f"{REFBIN}/SimulateReads",
+            gwws_graph,
+            f"{gwwsdir}/truth.gam",
+            f"{gwwsdir}/sim.fastq",
+            "12",
+            "250",
+            "0.05",
+            "0.05",
+            f"{gwwsdir}/seeds.gam",
+            "0.05",
+        ]
+    )
+    for name, args in {
+        "golden_b35": ["-b", "35"],
+        "golden_b5_B20": ["-b", "5", "-B", "20"],
+    }.items():
+        outdir = os.path.join(gwwsdir, name)
+        os.makedirs(outdir, exist_ok=True)
+        run(
+            [
+                f"{REFBIN}/Aligner",
+                "-g", gwws_graph,
+                "-f", f"{gwwsdir}/sim.fastq",
+                "-s", f"{gwwsdir}/seeds.gam",
+                "-a", f"{outdir}/out.gam",
+                "-t", "1",
+            ]
+            + args,
+            cwd=outdir,
+        )
+
     # PickSeedHits goldens (test_tools.py byte-identity)
     run(
         [

@@ -18,31 +18,21 @@ import time
 
 
 def build_problems(graph, reads, seed_map):
-    """First-wave extension problems, as align_reads_seeded_batch
-    builds them (fw suffix + RC'd bw prefix per first seed)."""
-    from graphaligner_tpu.core.batch_align import _pad_to_word
-    from graphaligner_tpu.io.sequences import reverse_complement
+    """First-wave extension problems, via the SAME helper
+    align_reads_seeded_batch uses (seed_extension_problems), so the
+    probe always measures the production workload."""
+    from graphaligner_tpu.core.batch_align import seed_extension_problems
 
     problems = []
     for r in reads:
         seeds = seed_map.get(r.seq_id, [])
         if not seeds:
             continue
-        node_id, pos, reverse = seeds[0]
-        if reverse:
-            fw_node = graph.node_lookup[node_id * 2 + 1]
-            bw_node = graph.node_lookup[node_id * 2]
-        else:
-            fw_node = graph.node_lookup[node_id * 2]
-            bw_node = graph.node_lookup[node_id * 2 + 1]
-        seq = r.sequence
-        if pos > 0:
-            problems.append(
-                (_pad_to_word(reverse_complement(seq[: pos + graph.dbg_overlap])),
-                 bw_node)
-            )
-        if pos < len(seq) - 1:
-            problems.append((_pad_to_word(seq[pos:]), fw_node))
+        bw, fw = seed_extension_problems(graph, r.sequence, seeds[0])
+        if bw is not None:
+            problems.append(bw)
+        if fw is not None:
+            problems.append(fw)
     return problems
 
 
