@@ -220,6 +220,78 @@ def _walk_inputs_step_fn():
     return _WALK_INPUTS_STEP
 
 
+_CONSOL_JIT: dict = {}
+
+
+def _consol_fn(with_codes: bool, first: bool):
+    """One jit-compiled program per walk-block consolidation round: the
+    band/lens/pred/cols (and optionally codes) gathers, the lane-pad to
+    the kernel's 128-multiple block width, and the walk kernel's leading
+    below-window pad slice all happen in ONE device program. The
+    previous eager-op version dispatched ~10 ops per round per block at
+    ~4ms of remote-dispatch overhead each, which made _consolidate the
+    third-largest phase on short-read corpora (BENCH.md round 5)."""
+    key = (with_codes, first)
+    fn = _CONSOL_JIT.get(key)
+    if fn is not None:
+        return fn
+    import jax
+    import jax.numpy as jnp
+
+    EMPTYi = int(EMPTY)
+
+    def build(band_dev, lens_dev, pred_dev, cols_dev, codes_dev,
+              lane_pos, steps, mask, *accs):
+        # steps/mask: [K_max+1, Bp] with row 0 (the lead pad slice) all
+        # False — gathers then emit the pad fill there automatically
+        steps3 = steps[:, None, :]
+        mask3 = mask[:, None, :]
+        mask4 = mask[:, None, None, :]
+
+        def g3(dev):
+            return jnp.take_along_axis(dev[:, :, lane_pos], steps3, axis=0)
+
+        band_g = g3(band_dev)
+        lens_g = g3(lens_dev)
+        pred_g = g3(pred_dev)
+        cols_g = jnp.take_along_axis(
+            cols_dev[:, :, :, lane_pos], steps[:, None, None, :], axis=0
+        )
+        if first:
+            band_t = jnp.where(mask3, band_g, EMPTYi)
+            lens_t = jnp.where(mask3, lens_g, 0)
+            pred_t = jnp.where(mask3, pred_g, 0)
+            cols_t = jnp.where(mask4, cols_g, 0)
+        else:
+            band_t = jnp.where(mask3, band_g, accs[0])
+            lens_t = jnp.where(mask3, lens_g, accs[1])
+            pred_t = jnp.where(mask3, pred_g, accs[2])
+            cols_t = jnp.where(mask4, cols_g, accs[3])
+        out = [band_t, lens_t, pred_t, cols_t]
+        if with_codes:
+            cg = jnp.take_along_axis(
+                codes_dev[:, :, lane_pos], steps3, axis=0
+            )
+            zero8 = jnp.zeros((), dtype=cg.dtype)
+            out.append(
+                jnp.where(mask3, cg, zero8)
+                if first
+                else jnp.where(mask3, cg, accs[4])
+            )
+        return tuple(out)
+
+    if first:
+        fn = jax.jit(build)
+    else:
+        # merge rounds reuse the donated accumulator buffers in place
+        n_acc = 5 if with_codes else 4
+        fn = jax.jit(
+            build, donate_argnums=tuple(range(8, 8 + n_acc))
+        )
+    _CONSOL_JIT[key] = fn
+    return fn
+
+
 def _pad_lead(arr, fill):
     """Prepend one zero/fill slice along axis 0 (the walk kernel's
     below-window neighbor entry)."""
@@ -1120,20 +1192,12 @@ class BandedBatchAligner:
         from ..ops.pallas import walk_moves as wm
 
         n = len(blk)
-        cols_tab, band_tab, lens_tab, pred_tab, codes_tab = self._consolidate(
-            lanes, keeps, K_max, "perslice", subset=blk
-        )
-        # pad the block to a 128-lane multiple for the kernel
+        # lane-pad to a 128-multiple; the jitted consolidation emits the
+        # tabs already padded AND carrying the leading below-window slice
         Bp = max(128, -(-n // 128) * 128)
-        if Bp != n:
-            cols_tab = jnp.pad(cols_tab, ((0, 0),) * 3 + ((0, Bp - n),))
-            band_tab = jnp.pad(
-                band_tab, ((0, 0), (0, 0), (0, Bp - n)), constant_values=int(EMPTY)
-            )
-            lens_tab = jnp.pad(lens_tab, ((0, 0), (0, 0), (0, Bp - n)))
-            pred_tab = jnp.pad(pred_tab, ((0, 0), (0, 0), (0, Bp - n)))
-            if codes_tab is not None:
-                codes_tab = jnp.pad(codes_tab, ((0, 0), (0, 0), (0, Bp - n)))
+        cols_tab, band_tab, lens_tab, pred_tab, codes_tab = (
+            self._consolidate_walk(lanes, keeps, K_max, blk, Bp)
+        )
         from .backtrace_device import _BT_MATCH
 
         bits_lut = np.zeros(_BT_MATCH.shape[0], dtype=np.int32)
@@ -1152,9 +1216,11 @@ class BandedBatchAligner:
             )
             if Bp != n:
                 codes8 = np.pad(codes8, ((0, 0), (0, 0), (0, Bp - n)))
+            codes8 = _pad_lead(codes8, 0)  # device tabs carry theirs
         else:
-            # device-resident: gathered by _consolidate from the scan's
-            # codes passthrough — nothing multi-MB crosses the link
+            # device-resident: gathered by _consolidate_walk from the
+            # scan's codes passthrough (lead slice included) — nothing
+            # multi-MB crosses the link
             codes8 = codes_tab
 
         def row1(a):
@@ -1180,14 +1246,15 @@ class BandedBatchAligner:
             Bp, row1(keeps_b)[0], row1(sslot)[0], row1(soff)[0],
             row1(sscore)[0],
         )
-        # whole-table walk = one window with base 0; tables grow a
-        # leading pad slice (the below-window neighbor, unread at q==1)
+        # whole-table walk = one window with base 0; the consolidation
+        # already grew the leading pad slice (the below-window neighbor,
+        # unread at q==1)
         moves_dev, fail_dev, _state, used_dev = wm.walk_moves(
-            _pad_lead(cols_tab, 0),
-            _pad_lead(band_tab, int(EMPTY)),
-            _pad_lead(lens_tab, 0),
-            _pad_lead(pred_tab, 0),
-            _pad_lead(codes8, 0),
+            cols_tab,
+            band_tab,
+            lens_tab,
+            pred_tab,
+            codes8,
             bits_lut,
             row1(self._seq_lens[blk]),
             row1(seed_nodes),
@@ -1225,34 +1292,25 @@ class BandedBatchAligner:
         pos2node = np.ascontiguousarray(t.pos_to_node)
         in_nbrs = np.ascontiguousarray(t.in_nbrs)
 
-        def decode_one(moves, col, i, w0, keep, cap):
-            try:
-                native.set_read(f"walk decode lane {i}")
-                return native.decode_moves(
-                    np.ascontiguousarray(moves[:, col]),
-                    w0,
-                    keep * WORD_SIZE - 1,
-                    node_start64,
-                    node_end64,
-                    pos2node,
-                    in_nbrs,
-                    cap,
-                )
-            except ValueError:
-                return False
+        # ONE batched native call per block decodes every live lane with
+        # an internal C++ thread pool (ga_decode_batch) — the per-lane
+        # pool of ctypes calls paid a GIL round trip + a strided numpy
+        # column copy per lane (~0.3ms each), which dominated
+        # _walk_moves_collect on short-read corpora. Block k's native
+        # decode overlaps block k+1's kernel + async moves fetch on the
+        # device timeline.
+        trace_t = _os.environ.get("GA_WALK_TIMES") == "1"
+        import time as _t
 
-        # the native decoder is stateless and ctypes releases the GIL for
-        # the C call, so the per-lane decodes run on a worker pool
-        # (reference analog: the per-thread backtrace halves of
-        # Aligner.cpp:275-298); decode futures resolve only after EVERY
-        # block's moves landed, so block k's decode overlaps block k+1's
-        # kernel + fetch
-        pool = _decode_pool()
-        pending = []
+        nthreads = int(_os.environ.get("GA_THREADS", 0)) or min(
+            8, _os.cpu_count() or 1
+        )
         for mv in mv_blocks:
             (lo_dev, moves_dev, T_lo, used_dev, fail_dev, lanes, keeps,
              blk, sw, K_max) = mv
+            t0 = _t.time() if trace_t else 0
             rows = int(np.asarray(used_dev).max()) // 8 + 1
+            t1 = _t.time() if trace_t else 0
             if rows <= T_lo:
                 src = lo_dev
             else:
@@ -1260,28 +1318,49 @@ class BandedBatchAligner:
                 # device — a tail slice would compile a fresh signature)
                 src = moves_dev
             moves = np.ascontiguousarray(np.asarray(src)).view(np.uint32)
+            t2 = _t.time() if trace_t else 0
             fail = np.asarray(fail_dev)[0]
             cap = K_max * WORD_SIZE * 3 + 64
+            live = [(col, i) for col, i in enumerate(blk) if not fail[col]]
             for col, i in enumerate(blk):
                 if fail[col]:
                     lanes[i].failed = True
-                    continue
-                fut = pool.submit(
-                    decode_one, moves, col, i, int(sw[col]),
-                    int(keeps[i]), cap,
+            if live:
+                cols_a = np.array([c for c, _ in live], dtype=np.int32)
+                sw_a = np.array([sw[c] for c, _ in live], dtype=np.int64)
+                sr_a = np.array(
+                    [int(keeps[i]) * WORD_SIZE - 1 for _, i in live],
+                    dtype=np.int64,
                 )
-                pending.append((lanes, i, fut))
-        for lanes, i, fut in pending:
-            arr = fut.result()
-            lane = lanes[i]
-            if arr is False or arr is None or len(arr) < 1 or arr[0, 1] != 0:
-                lane.failed = True
-                continue
-            score = lane.accepted[int(keeps[i]) - 1].min_score
-            cells = sum(
-                r.num_cells for r in lane.accepted[: int(keeps[i])]
-            ) * WORD_SIZE
-            results[i] = (score, arr, int(keeps[i]), cells)
+                out_w, out_r, n_out = native.decode_moves_batch(
+                    moves, cols_a, sw_a, sr_a, node_start64, node_end64,
+                    pos2node, in_nbrs, cap, nthreads,
+                )
+                for j, (_, i) in enumerate(live):
+                    n = int(n_out[j])
+                    lane = lanes[i]
+                    if n < 1 or out_r[j, 0] != 0:
+                        lane.failed = True
+                        continue
+                    arr = np.stack(
+                        [out_w[j, :n], out_r[j, :n]], axis=1
+                    )
+                    score = lane.accepted[int(keeps[i]) - 1].min_score
+                    cells = sum(
+                        r.num_cells for r in lane.accepted[: int(keeps[i])]
+                    ) * WORD_SIZE
+                    results[i] = (score, arr, int(keeps[i]), cells)
+            if trace_t:
+                import sys as _sys
+
+                print(
+                    f"[walk_times] block lanes={len(blk)} K={K_max} "
+                    f"Tw={src.shape[0]} kernel_wait={1e3*(t1-t0):.1f}ms "
+                    f"moves_fetch={1e3*(t2-t1):.1f}ms "
+                    f"({moves.nbytes/1e6:.2f}MB) "
+                    f"decode={1e3*(_t.time()-t2):.1f}ms",
+                    file=_sys.stderr, flush=True,
+                )
 
     def _gather_walk_inputs(self, lanes, keeps):
         """Batched device gather of every walk lane's final slice. Only
@@ -1607,6 +1686,60 @@ class BandedBatchAligner:
             for (w, _), s in zip(live_ties, resolved):
                 starts[w] = s
         return starts
+
+    def _consolidate_walk(self, lanes, keeps, K_max, blk, Bp):
+        """Jitted walk-table consolidation for one dispatch block:
+        returns (cols, band, lens, pred, codes) device tabs, already
+        lane-padded to Bp and carrying the walk kernel's leading
+        below-window pad slice (shape [K_max+1, ..., Bp]). codes is
+        None when any source round lacks the device codes passthrough
+        (host fallback / GA_HOST_WALK_CODES A/B). One compiled program
+        per (round shapes, K_max, Bp) replaces ~10 eager dispatches per
+        round (see _consol_fn)."""
+        idx_list = list(blk)
+        rounds = []
+        for li in idx_list:
+            for rec in lanes[li].accepted:
+                if rec.rnd not in rounds:
+                    rounds.append(rec.rnd)
+        want_codes = all(
+            r.codes_dev is not None for r in rounds
+        ) and not _os.environ.get("GA_HOST_WALK_CODES")
+        K1 = K_max + 1
+        accs: tuple = ()
+        dummy_codes = np.zeros((1, 1, 1), np.uint8)
+        for ri, rnd in enumerate(rounds):
+            steps = np.zeros((K1, Bp), np.int32)
+            mask = np.zeros((K1, Bp), bool)
+            lane_pos = np.zeros(Bp, np.int32)
+            for bi, li in enumerate(idx_list):
+                lane = lanes[li]
+                if lane.failed:
+                    continue
+                for k, rec in enumerate(lane.accepted[: int(keeps[li])]):
+                    if rec.rnd is rnd:
+                        steps[k + 1, bi] = rec.step
+                        mask[k + 1, bi] = True
+            for bi, li in enumerate(idx_list):
+                for rec in lanes[li].accepted:
+                    if rec.rnd is rnd:
+                        lane_pos[bi] = rec.lane_in_round
+                        break
+            fn = _consol_fn(want_codes, ri == 0)
+            accs = fn(
+                rnd.band_ids_dev,
+                rnd.lens_tab_dev,
+                rnd.pred_tab_dev,
+                rnd.cols_dev,
+                rnd.codes_dev if want_codes else dummy_codes,
+                lane_pos,
+                steps,
+                mask,
+                *accs,
+            )
+        band_t, lens_t, pred_t, cols_t = accs[:4]
+        codes_t = accs[4] if want_codes else None
+        return cols_t, band_t, lens_t, pred_t, codes_t
 
     def _consolidate(self, lanes, keeps, K_max, layout, *, subset=None):
         """Gather per-lane table slices from each round's device-resident

@@ -176,6 +176,16 @@ def _register(lib):
     lib.ga_set_read.argtypes = [ctypes.c_char_p]
     lib.ga_install_crash_guard.restype = None
     lib.ga_install_crash_guard.argtypes = []
+    lib.ga_decode_batch.restype = ctypes.c_int
+    lib.ga_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64, ctypes.c_int64,
+        i32p,  # cols [W]
+        i64p, i64p,  # start_w, start_row [W]
+        i64p, i64p,  # node_start, node_end
+        i32p, i32p, ctypes.c_int32,  # pos_to_node, in_nbrs, k_in
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,  # W, cap, nthreads
+        i64p, i64p, i64p,  # out_w, out_r [W*cap], n_out [W]
+    ]
     lib.ga_tie_batch.restype = ctypes.c_int
     lib.ga_tie_batch.argtypes = [
         i32p, i32p, i32p,  # band_ids, node_min, node_end [W*Kmax*Nm]
@@ -325,6 +335,48 @@ def decode_moves(moves, start_w, start_row, node_start, node_end, pos_to_node,
     if n < 0:
         raise ValueError("malformed move stream")
     return np.stack([out_w[:n], out_r[:n]], axis=1)
+
+
+def decode_moves_batch(moves2d, cols, start_ws, start_rows, node_start,
+                       node_end, pos_to_node, in_nbrs, cap, nthreads):
+    """Decode every lane of one walk block in ONE native call (internal
+    thread pool; see ga_decode_batch). moves2d: the [n_words, B] uint32
+    fetch layout; cols[i] = lane i's column. Returns (out_w, out_r,
+    n_out) slabs — lane i's forward trace is
+    (out_w[i, :n], out_r[i, :n]) for n = n_out[i]; n < 0 flags a
+    malformed stream (-1) or a caught native crash (-2).
+    None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    moves2d = np.ascontiguousarray(moves2d, dtype=np.uint32)
+    W = len(cols)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    start_ws = np.ascontiguousarray(start_ws, dtype=np.int64)
+    start_rows = np.ascontiguousarray(start_rows, dtype=np.int64)
+    out_w = np.empty((W, cap), dtype=np.int64)
+    out_r = np.empty((W, cap), dtype=np.int64)
+    n_out = np.empty(W, dtype=np.int64)
+    lib.ga_decode_batch(
+        moves2d.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        moves2d.shape[0],
+        moves2d.shape[1],
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        start_ws.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        start_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        node_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        node_end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        pos_to_node.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        in_nbrs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        in_nbrs.shape[1],
+        W,
+        cap,
+        nthreads,
+        out_w.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_r.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out_w, out_r, n_out
 
 
 def tie_start(order, sends, best, graph, topo_rank):

@@ -454,6 +454,63 @@ int64_t ga_decode_moves(const uint32_t* moves, int64_t n_words,
 }
 
 // ---------------------------------------------------------------------------
+// Batched move decode: all lanes of one walk block in ONE call.
+//
+// The per-lane Python path (thread pool of ctypes ga_decode_moves calls)
+// pays a GIL round trip + a strided numpy column copy per lane — ~0.3ms
+// each, the dominant cost of _walk_moves_collect on short-read corpora.
+// This decodes every lane with an internal std::thread pool (same
+// work-stealing pattern as ga_tie_batch), reading each lane's word
+// column straight out of the [n_words, B] device-fetch layout.
+//   moves:   [n_words * B] row-major, nibble stream of lane i is
+//            moves[t*B + cols[i]] over t
+//   n_out:   [W] decoded step counts; -1 malformed stream, -2 crash
+//   out_w/out_r: [W * cap] per-lane slabs (lane i at offset i*cap)
+// ---------------------------------------------------------------------------
+int ga_decode_batch(const uint32_t* moves, int64_t n_words, int64_t B,
+                    const int32_t* cols, const int64_t* start_w,
+                    const int64_t* start_row, const int64_t* node_start,
+                    const int64_t* node_end, const int32_t* pos_to_node,
+                    const int32_t* in_nbrs, int32_t k_in, int64_t W,
+                    int64_t cap, int32_t nthreads, int64_t* out_w,
+                    int64_t* out_r, int64_t* n_out) {
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    std::vector<uint32_t> lane_words((size_t)n_words);
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= W) break;
+      snprintf(ga_read_ctx, sizeof(ga_read_ctx), "walk decode lane %lld",
+               (long long)i);
+      if (GA_GUARD()) {  // crash in this lane only: mark and move on
+        n_out[i] = -2;
+        continue;
+      }
+      const int64_t c = cols[i];
+      for (int64_t t = 0; t < n_words; t++)
+        lane_words[(size_t)t] = moves[t * B + c];
+      n_out[i] = ga_decode_moves_impl(
+          lane_words.data(), n_words, start_w[i], start_row[i], node_start,
+          node_end, pos_to_node, in_nbrs, k_in, cap, out_w + i * cap,
+          out_r + i * cap);
+      GA_UNGUARD();
+    }
+  };
+  int64_t T = nthreads;
+  if (T < 1) T = 1;
+  if (T > W) T = W;
+  if (T <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ths;
+    ths.reserve((size_t)T);
+    for (int64_t t = 0; t < T; t++) ths.emplace_back(worker);
+    for (auto& th : ths) th.join();
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Band-insertion-order chain replay (counterpart of
 // core/batch_align.py::_band_orders / core/band.py).
 //

@@ -89,7 +89,7 @@ def main():
                 out = fn(*args)
                 jax.block_until_ready(out)
                 times.append(time.time() - t0)
-            moves_dev, fail_dev, state = out
+            moves_dev, fail_dev, state, used_dev = out
             t0 = time.time()
             moves = np.ascontiguousarray(np.asarray(moves_dev)).view(np.uint32)
             t_fetch = time.time() - t0

@@ -3,9 +3,15 @@ on the TPU backend, so any engine/encoder change must re-verify the
 reference-binary goldens HERE, not just in the CPU suite (CLAUDE.md
 invariant).
 
-Runs the batched pipeline on sim (600bp, both bandwidth configs) and
-longsim (10kb) corpora and compares every alignment against the
-reference goldens message-by-message. Exit 0 = bit-identical.
+Default gate (run after the last engine-touching commit of a round):
+sim (600bp, both bandwidth configs), longsim (10kb), gwws (the
+reference repo's historical crash graph), the 230kbp giant-band
+fixture (native slice engine), and the 30kb tier — every alignment
+byte-compared against the reference binary's goldens.
+
+`--full` adds the slow scale tiers: 100kb and a 1Mbp smoke (first
+read, both bandwidth configs — forces windowed long mode + mid-chain
+ramping rewinds). Exit 0 = bit-identical.
 """
 
 import os
@@ -54,12 +60,77 @@ def check_corpus(name, graph_file, reads_file, seeds_file, golden_file,
     print(f"{name}: {n_ok}/{len(reads)} bit-identical", flush=True)
 
 
+def check_corpus_subset(name, graph_file, reads_file, seeds_file,
+                        golden_file, bandwidth, ramp, n_reads=None):
+    """check_corpus limited to the first n_reads (scale-tier smokes)."""
+    from graphaligner_tpu.core.batch_align import (
+        BandedBatchAligner,
+        align_reads_seeded_batch,
+    )
+    from graphaligner_tpu.graph import load_alignment_graph
+    from graphaligner_tpu.io import load_fastq, stream, vg
+    from graphaligner_tpu.runtime.aligner import load_seed_hits
+
+    graph = load_alignment_graph(graph_file)
+    reads = load_fastq(reads_file)
+    if n_reads is not None:
+        reads = reads[:n_reads]
+    seeds = load_seed_hits(seeds_file, [r.seq_id for r in reads])
+    golden = {
+        a.name: a for a in stream.read_messages(golden_file, vg.Alignment)
+    }
+    aligner = BandedBatchAligner(graph, bandwidth, ramp)
+    results = align_reads_seeded_batch(graph, aligner, reads, seeds)
+    n_ok = 0
+    for read in reads:
+        res = results[read.seq_id]
+        if res.alignment_failed or res.alignment.score == INT32_MAX:
+            assert read.seq_id not in golden, f"{name}/{read.seq_id}: missing"
+            continue
+        mine = vg.Alignment.decode(res.alignment.encode())
+        for m in mine.path.mapping:
+            m.position.node_id //= 2
+        assert read.seq_id in golden, f"{name}/{read.seq_id}: extra alignment"
+        assert mine == golden[read.seq_id], f"{name}/{read.seq_id}: differs"
+        n_ok += 1
+    print(f"{name}: {n_ok}/{len(reads)} bit-identical", flush=True)
+
+
+def check_giantband():
+    """230kbp-band fixture through the native giant-band slice engine
+    (oracle path; device-independent but part of the round gate so the
+    native engine is re-proven alongside every kernel change)."""
+    import graphaligner_tpu.core.oracle as oracle
+    from graphaligner_tpu.core.align import align_one_way_seeded
+    from graphaligner_tpu.graph import load_alignment_graph
+    from graphaligner_tpu.io import load_fastq, stream, vg
+
+    graph = load_alignment_graph(f"{FIX}/giantband/graph.vg")
+    read = load_fastq(f"{FIX}/giantband/read.fastq")[0]
+    golden = list(
+        stream.read_messages(f"{FIX}/giantband/golden.gam", vg.Alignment)
+    )[0]
+    result = align_one_way_seeded(
+        graph, read.seq_id, read.sequence, 35, 0, [(1, 0, False)]
+    )
+    assert not result.alignment_failed
+    mine = vg.Alignment.decode(result.alignment.encode())
+    for m in mine.path.mapping:
+        m.position.node_id //= 2
+    assert mine == golden, "giantband: differs from reference"
+    print("giantband (230kbp band, native slices): bit-identical", flush=True)
+
+
 def main():
+    import time
+
     import jax
 
     assert jax.default_backend() != "cpu", (
         "verify_tpu.py must run on the real TPU (got cpu backend)"
     )
+    full = "--full" in sys.argv
+    t_all = time.time()
     check_corpus(
         "longsim b35",
         f"{FIX}/longsim/graph.vg", f"{FIX}/longsim/reads.fastq",
@@ -90,7 +161,45 @@ def main():
         f"{FIX}/sim/seeds.gam", f"{FIX}/sim/golden_b35/out.gam", 35, 0,
     )
     del os.environ["GA_PROJ"]
-    print("TPU golden verification: ALL BIT-IDENTICAL", flush=True)
+    check_corpus(
+        "gwws b35 (historical crash graph)",
+        f"{FIX}/gwws_fail_ex1.vg", f"{FIX}/gwws/sim.fastq",
+        f"{FIX}/gwws/seeds.gam", f"{FIX}/gwws/golden_b35/out.gam", 35, 0,
+    )
+    check_giantband()
+    check_corpus(
+        "giant 30kb",
+        f"{FIX}/longsim/graph.vg", f"{FIX}/longsim/giant/giant_reads.fastq",
+        f"{FIX}/longsim/giant/giant_seeds.gam",
+        f"{FIX}/longsim/giant/giant_out.gam", 35, 0,
+    )
+    if full:
+        check_corpus(
+            "huge 100kb (windowed long mode)",
+            f"{FIX}/longsim/huge/graph.vg",
+            f"{FIX}/longsim/huge/reads.fastq",
+            f"{FIX}/longsim/huge/seeds.gam",
+            f"{FIX}/longsim/huge/golden.gam", 35, 0,
+        )
+        check_corpus_subset(
+            "mega 1Mbp smoke b35 (read 1)",
+            f"{FIX}/longsim/mega/graph.vg",
+            f"{FIX}/longsim/mega/reads.fastq",
+            f"{FIX}/longsim/mega/seeds.gam",
+            f"{FIX}/longsim/mega/golden_b35.gam", 35, 0, n_reads=1,
+        )
+        check_corpus_subset(
+            "mega 1Mbp smoke b5 B20 (read 1, mid-chain ramping)",
+            f"{FIX}/longsim/mega/graph.vg",
+            f"{FIX}/longsim/mega/reads.fastq",
+            f"{FIX}/longsim/mega/seeds.gam",
+            f"{FIX}/longsim/mega/golden_b5B20.gam", 5, 20, n_reads=1,
+        )
+    print(
+        f"TPU golden verification ({'full' if full else 'default'} gate): "
+        f"ALL BIT-IDENTICAL in {time.time() - t_all:.0f}s",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
