@@ -1332,10 +1332,20 @@ class BandedBatchAligner:
                     [int(keeps[i]) * WORD_SIZE - 1 for _, i in live],
                     dtype=np.int64,
                 )
+                tn = _t.time() if trace_t else 0
                 out_w, out_r, n_out = native.decode_moves_batch(
                     moves, cols_a, sw_a, sr_a, node_start64, node_end64,
                     pos2node, in_nbrs, cap, nthreads,
                 )
+                tn2 = _t.time() if trace_t else 0
+                if trace_t:
+                    import sys as _sys
+
+                    print(
+                        f"[walk_times]   native={1e3*(tn2-tn):.1f}ms "
+                        f"W={len(live)} cap={cap}",
+                        file=_sys.stderr, flush=True,
+                    )
                 for j, (_, i) in enumerate(live):
                     n = int(n_out[j])
                     lane = lanes[i]
@@ -1403,7 +1413,17 @@ class BandedBatchAligner:
                 acc_big,
                 acc_st,
             )
-        return acc_big, np.asarray(acc_st)  # device [B, Cm+Nm], host [B, 10]
+        acc_st_h = np.asarray(acc_st)
+        if self._mn_tie_rate > 0.4 and hasattr(acc_big, "copy_to_host_async"):
+            # tie-heavy corpora will take _fetch_walk_rows' full-fetch
+            # branch: start the [B, Cm+Nm] payload across the link now
+            # (AFTER the small summary fetch, so it doesn't queue ahead
+            # of it) — _walk_starts' host work overlaps the transfer
+            try:
+                acc_big.copy_to_host_async()
+            except Exception:
+                pass
+        return acc_big, acc_st_h  # device [B, Cm+Nm], host [B, 10]
 
     def _fetch_walk_rows(self, big_dev, idxs, B):
         """Fetch the final-slice (sends, band) rows for a SUBSET of walk
@@ -2230,9 +2250,9 @@ class BandedBatchAligner:
             seg_start_mask[s0, l] = True
             if st == 0:
                 seg_first[s0, l] = 1
-            for k in range(n):
-                if st + k <= ramp_until:
-                    bw[s0 + k, l] = self.ramp_bandwidth
+            hi = min(n, ramp_until - st + 1)
+            if hi > 0:
+                bw[s0 : s0 + hi, l] = self.ramp_bandwidth
             if carry == "init":
                 node = problems[i][1]
                 seg_rnode[s0, l] = node
@@ -2857,6 +2877,47 @@ def align_reads_seeded_batch(
 
     INT_MAX = 2**62
 
+    # native per-piece trace finalize context (ga_trace_piece): the
+    # contiguous graph tables are hoisted out of the per-read loop
+    from ..io import native as _nat
+
+    _tp_lib = _nat.get_lib() is not None
+    _p2n = np.ascontiguousarray(graph.pos_to_node)
+    _nstart = np.ascontiguousarray(graph.node_start, dtype=np.int64)
+    _nids = np.ascontiguousarray(graph.node_ids, dtype=np.int64)
+    _revf = np.ascontiguousarray(graph.reverse.astype(np.uint8))
+    _rev_pos_c = np.ascontiguousarray(aligner.rev_pos, dtype=np.int64)
+
+    def tp_native(trace, trim, rev, end_row, shift):
+        """(final_trace, runs|None, tried triples) for one piece —
+        native when available, else the trace_ops chain (identical
+        semantics; the native path is a C port of these calls)."""
+        if _tp_lib:
+            return _nat.trace_piece(
+                trace, trim, rev, _rev_pos_c, end_row, shift, _p2n,
+                _nstart, _nids, _revf, graph.dummy_node_start,
+                graph.dummy_node_end,
+            )
+        t = trace_ops.trim_trace(as_arr(trace), trim)
+        if rev:
+            t = trace_ops.reverse_trace(aligner.rev_pos, t, end_row)
+        elif shift:
+            t = t.copy()
+            t[:, 1] += shift
+        runs = trace_ops.trace_to_runs(graph, t)
+        tried: list = []
+        if len(t):
+            starts, nodes = trace_ops.trace_node_runs(graph, t)
+            ends = np.concatenate([starts[1:], [len(t)]]) - 1
+            tried = list(
+                zip(
+                    t[starts, 1].tolist(),
+                    t[ends, 1].tolist(),
+                    nodes.tolist(),
+                )
+            )
+        return t, runs, tried
+
     t0 = _time.time()
     state = {}
     results: dict = {}
@@ -2905,41 +2966,53 @@ def align_reads_seeded_batch(
             )
             trace = ((f_sc, as_arr(f_tr)), (b_sc, as_arr(b_tr)))
             est = split.estimated_correctly_aligned()
+            runs_pair = None  # finalize derives runs via trace_to_runs
+            s["cells"] = s.get("cells", 0) + cells
+            trace_ops.add_alignment_nodes(graph, s["tried"], trace)
         else:
+            # native per-piece finalize (ga_trace_piece): trim +
+            # reverse/shift + both run tables in one C call per piece
+            # instead of the ~60-numpy-op Python chain (hot on the
+            # 1-core host). Bit-identical port of trace_ops semantics.
             fw = (0, np.zeros((0, 2), np.int64))
             bw = (0, np.zeros((0, 2), np.int64))
+            fw_runs = bw_runs = None
             keep_fw = keep_bw = 0
+            bw_tried: list = []
+            fw_tried: list = []
+            if bw_i is not None:
+                b_score, b_trace, keep_bw, b_cells = walked[bw_i]
+                cells += b_cells
+                if keep_bw > 0:
+                    b_final, bw_runs, bw_tried = tp_native(
+                        b_trace, pos, True, pos - 1, 0
+                    )
+                    bw = (b_score, b_final)
             if fw_i is not None:
                 f_score, f_trace, keep_fw, f_cells = walked[fw_i]
                 cells += f_cells
                 if keep_fw > 0:
                     backtraceable = len(sequence) - pos - graph.dbg_overlap
-                    fw = (f_score, trace_ops.trim_trace(f_trace, backtraceable))
-            if bw_i is not None:
-                b_score, b_trace, keep_bw, b_cells = walked[bw_i]
-                cells += b_cells
-                if keep_bw > 0:
-                    b_trace = trace_ops.trim_trace(b_trace, pos)
-                    b_trace = trace_ops.reverse_trace(
-                        aligner.rev_pos, b_trace, pos - 1
+                    f_final, fw_runs, fw_tried = tp_native(
+                        f_trace, backtraceable, False, 0,
+                        pos if keep_bw > 0 else 0,
                     )
-                    bw = (b_score, b_trace)
-                    f_shift = fw[1].copy()
-                    f_shift[:, 1] += pos
-                    fw = (fw[0], f_shift)
+                    fw = (f_score, f_final)
             trace = (fw, bw)
             est = (keep_fw + keep_bw) * WORD_SIZE
-        s["cells"] = s.get("cells", 0) + cells
-        trace_ops.add_alignment_nodes(graph, s["tried"], trace)
+            runs_pair = (fw_runs, bw_runs)
+            s["cells"] = s.get("cells", 0) + cells
+            s["tried"].extend(fw_tried)
+            s["tried"].extend(bw_tried)
         if s["best"] is None or est > s["best"][0]:
-            s["best"] = (est, trace, seed)
+            s["best"] = (est, trace, seed, runs_pair)
 
     def finalize_read(seq_id, s):
         """The tail of align_one_way_seeded for one read."""
         elapsed = int((_time.time() - t0) * 1000)
         if s["best"] is None:
             return empty_alignment(elapsed, 0)
-        est, trace, best_seed = s["best"]
+        est, trace, best_seed, runs_pair = s["best"]
         sequence = s["read"].sequence
         (fw_score, fw_trace), (bw_score, bw_trace) = trace
         if fw_score >= INT_MAX and bw_score >= INT_MAX:
@@ -2949,8 +3022,11 @@ def align_reads_seeded_batch(
                 g, sq, [tuple(x) for x in b], [tuple(x) for x in f]
             )
         )
-        fw_runs = trace_ops.trace_to_runs(graph, fw_trace)
-        bw_runs = trace_ops.trace_to_runs(graph, bw_trace)
+        if runs_pair is not None:
+            fw_runs, bw_runs = runs_pair  # native finalize (process_entry)
+        else:
+            fw_runs = trace_ops.trace_to_runs(graph, fw_trace)
+            bw_runs = trace_ops.trace_to_runs(graph, bw_trace)
         if fw_runs is None and bw_runs is None:
             return empty_alignment(elapsed, 0)
         score = (bw_score if bw_runs is not None else 0) + (

@@ -337,6 +337,103 @@ def decode_moves(moves, start_w, start_row, node_start, node_end, pos_to_node,
     return np.stack([out_w[:n], out_r[:n]], axis=1)
 
 
+def _trace_piece_sig(lib):
+    if getattr(lib, "_tp_ready", False):
+        return
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.ga_trace_piece.restype = ctypes.c_int
+    lib.ga_trace_piece.argtypes = [
+        i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,  # trace, n, trim, rev
+        i64p, ctypes.c_int64, ctypes.c_int64,  # rev_pos, end_row, shift
+        i32p, i64p, i64p, u8p,  # pos_to_node, node_start, node_ids, rev_flags
+        ctypes.c_int32, ctypes.c_int32,  # dummy_start, dummy_end
+        i64p,  # out_trace
+        i32p, i64p, i64p,  # fr_node, fr_rfirst, fr_rlast
+        i32p, i64p, u8p, i64p, i64p, i64p, i64p,  # window arrays
+        i64p,  # meta
+    ]
+    lib._tp_ready = True
+
+
+def trace_piece(trace, trim_limit, do_reverse, rev_pos, end_row, shift,
+                pos_to_node, node_start, node_ids, rev_flags,
+                dummy_start, dummy_end):
+    """One-call trace finalize (see ga_trace_piece): returns
+    (final_trace [m, 2] int64, runs_dict | None, tried list of
+    (rfirst, rlast, node) triples). None if the library is unavailable.
+    The graph table arrays must be C-contiguous with dtypes
+    int32/int64/int64/uint8."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _trace_piece_sig(lib)
+    trace = np.ascontiguousarray(trace, dtype=np.int64)
+    n = len(trace)
+    out_trace = np.empty((n, 2), np.int64)
+    fr_node = np.empty(n + 1, np.int32)
+    fr_rfirst = np.empty(n + 1, np.int64)
+    fr_rlast = np.empty(n + 1, np.int64)
+    w_node_idx = np.empty(n + 1, np.int32)
+    w_node_id = np.empty(n + 1, np.int64)
+    w_rev = np.empty(n + 1, np.uint8)
+    w_offsets = np.empty(n + 1, np.int64)
+    w_from_len = np.empty(n + 1, np.int64)
+    w_to_len = np.empty(n + 1, np.int64)
+    w_rstart = np.empty(n + 1, np.int64)
+    meta = np.zeros(3, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.ga_trace_piece(
+        trace.ctypes.data_as(i64p),
+        n,
+        int(trim_limit),
+        1 if do_reverse else 0,
+        rev_pos.ctypes.data_as(i64p),
+        int(end_row),
+        int(shift),
+        pos_to_node.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        node_start.ctypes.data_as(i64p),
+        node_ids.ctypes.data_as(i64p),
+        rev_flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(dummy_start),
+        int(dummy_end),
+        out_trace.ctypes.data_as(i64p),
+        fr_node.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        fr_rfirst.ctypes.data_as(i64p),
+        fr_rlast.ctypes.data_as(i64p),
+        w_node_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        w_node_id.ctypes.data_as(i64p),
+        w_rev.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        w_offsets.ctypes.data_as(i64p),
+        w_from_len.ctypes.data_as(i64p),
+        w_to_len.ctypes.data_as(i64p),
+        w_rstart.ctypes.data_as(i64p),
+        meta.ctypes.data_as(i64p),
+    )
+    if rc != 0:
+        raise ValueError("native crash in trace finalize")
+    m, nr, nw = int(meta[0]), int(meta[1]), int(meta[2])
+    final = out_trace[:m]
+    tried = list(
+        zip(fr_rfirst[:nr].tolist(), fr_rlast[:nr].tolist(),
+            fr_node[:nr].tolist())
+    )
+    if nw == 0:
+        return final, None, tried
+    runs = {
+        "node_idx": w_node_idx[:nw],
+        "node_id": w_node_id[:nw],
+        "rev": w_rev[:nw].view(bool),
+        "offsets": w_offsets[:nw],
+        "ranks": np.arange(nw, dtype=np.int64),
+        "from_len": w_from_len[:nw],
+        "to_len": w_to_len[:nw],
+        "rstart": w_rstart[:nw],
+    }
+    return final, runs, tried
+
+
 def decode_moves_batch(moves2d, cols, start_ws, start_rows, node_start,
                        node_end, pos_to_node, in_nbrs, cap, nthreads):
     """Decode every lane of one walk block in ONE native call (internal

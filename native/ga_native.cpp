@@ -454,6 +454,117 @@ int64_t ga_decode_moves(const uint32_t* moves, int64_t n_words,
 }
 
 // ---------------------------------------------------------------------------
+// Per-piece trace finalize: trim + reverse/shift + node runs in one call.
+//
+// Replaces the per-read Python chain trim_trace -> reverse_trace /
+// row-shift -> trace_node_runs (addAlignmentNodes) -> trace_to_runs
+// (core/trace_ops.py) whose ~60 numpy-call overheads per read dominate
+// the short-read host wall on this 1-core machine. Semantics are an
+// exact port of trace_ops.py (reference counterparts: reverseTrace
+// GraphAligner.h:3026-3038, addAlignmentNodes 593-633, traceToAlignment
+// 782-847).
+//   trace:      [n, 2] interleaved (graph position, read row), forward
+//               order, rows non-decreasing
+//   trim_limit: keep rows < trim_limit (pass < 0 for no trim)
+//   do_reverse: map positions through rev_pos, rows to end_row - row,
+//               reverse order (backward piece); else rows += shift
+//   meta out:   [0]=m final trace length, [1]=nr_full full-run count,
+//               [2]=nr_window trace_to_runs run count (0 = None)
+// ---------------------------------------------------------------------------
+int ga_trace_piece(
+    const int64_t* trace, int64_t n, int64_t trim_limit, int32_t do_reverse,
+    const int64_t* rev_pos, int64_t end_row, int64_t shift,
+    const int32_t* pos_to_node, const int64_t* node_start,
+    const int64_t* node_ids, const uint8_t* rev_flags, int32_t dummy_start,
+    int32_t dummy_end, int64_t* out_trace, int32_t* fr_node,
+    int64_t* fr_rfirst, int64_t* fr_rlast, int32_t* w_node_idx,
+    int64_t* w_node_id, uint8_t* w_rev, int64_t* w_offsets,
+    int64_t* w_from_len, int64_t* w_to_len, int64_t* w_rstart,
+    int64_t* meta) {
+  if (GA_GUARD()) return -2;
+  // 1. trim: first index with row >= trim_limit (rows non-decreasing)
+  int64_t m = n;
+  if (trim_limit >= 0) {
+    int64_t lo = 0, hi = n;
+    while (lo < hi) {
+      int64_t mid = (lo + hi) / 2;
+      if (trace[2 * mid + 1] < trim_limit) lo = mid + 1; else hi = mid;
+    }
+    m = lo;
+  }
+  // 2. transform into out_trace
+  if (do_reverse) {
+    for (int64_t i = 0; i < m; i++) {
+      int64_t src = m - 1 - i;
+      out_trace[2 * i] = rev_pos[trace[2 * src]];
+      out_trace[2 * i + 1] = end_row - trace[2 * src + 1];
+    }
+  } else {
+    for (int64_t i = 0; i < m; i++) {
+      out_trace[2 * i] = trace[2 * i];
+      out_trace[2 * i + 1] = trace[2 * i + 1] + shift;
+    }
+  }
+  // 3. full node runs over the final trace (trace_node_runs)
+  std::vector<int64_t> run_s;
+  run_s.reserve(64);
+  int64_t nr = 0;
+  int32_t prev_node = -2;
+  for (int64_t i = 0; i < m; i++) {
+    int32_t node = pos_to_node[out_trace[2 * i]];
+    if (node != prev_node) {
+      fr_node[nr] = node;
+      fr_rfirst[nr] = out_trace[2 * i + 1];
+      run_s.push_back(i);
+      nr++;
+      prev_node = node;
+    }
+    fr_rlast[nr - 1] = out_trace[2 * i + 1];
+  }
+  meta[0] = m;
+  meta[1] = nr;
+  meta[2] = 0;
+  // 4. window (trace_to_runs): skip leading dummy-start runs, stop at
+  // the dummy end node
+  int64_t k = 0;
+  while (k < nr && fr_node[k] == dummy_start) k++;
+  if (k == nr || fr_node[k] == dummy_end) {
+    GA_UNGUARD();
+    return 0;  // nr_window = 0 -> trace_to_runs None
+  }
+  int64_t stop = nr;
+  for (int64_t j = k; j < nr; j++) {
+    if (fr_node[j] == dummy_end) { stop = j; break; }
+  }
+  int64_t nw = stop - k;
+  for (int64_t j = k; j < stop; j++) {
+    int64_t o = j - k;
+    int32_t node = fr_node[j];
+    int64_t s_idx = run_s[(size_t)j];
+    int64_t e_idx = (j + 1 < nr ? run_s[(size_t)(j + 1)] : m) - 1;
+    int64_t w_start = out_trace[2 * s_idx];
+    int64_t w_end = out_trace[2 * e_idx];
+    int64_t r_end = out_trace[2 * e_idx + 1];
+    w_node_idx[o] = node;
+    w_node_id[o] = node_ids[node];
+    w_rev[o] = rev_flags[node];
+    w_offsets[o] = (o == 0) ? w_start - node_start[node] : 0;
+    w_from_len[o] = w_end - w_start + 1;
+    w_rstart[o] = out_trace[2 * s_idx + 1];
+    if (o == 0) {
+      w_to_len[o] = r_end - out_trace[2 * s_idx + 1];
+    } else {
+      int64_t pe_idx = run_s[(size_t)j] - 1;  // previous run's last index
+      w_to_len[o] = r_end - out_trace[2 * pe_idx + 1];
+    }
+  }
+  w_from_len[nw - 1] -= 1;
+  meta[2] = nw;
+  GA_UNGUARD();
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Batched move decode: all lanes of one walk block in ONE call.
 //
 // The per-lane Python path (thread pool of ctypes ga_decode_moves calls)
