@@ -194,10 +194,53 @@ def bench_variation_ramping():
     )
 
 
+def bench_ont_tier():
+    """ONT-error tier (VERDICT r4 item 7): the CHECKED-IN ~18%-total-
+    error fixture (tests/make_fixture_ont.py, reference-binary goldens
+    in tests/fixtures/ont, TPU-verified by tests/test_ont.py /
+    verify_tpu.py) at the ramping config — uniform ONT-class error is
+    the regime the HMM constants assume
+    (AlignmentCorrectnessEstimation.cpp:6-8), so this measures
+    ramping-heavy steady-state throughput, not burst recovery."""
+    from graphaligner_tpu.graph import load_alignment_graph
+    from graphaligner_tpu.io import load_fastq
+    from graphaligner_tpu.runtime.aligner import load_seed_hits
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ont = os.path.join(here, "tests", "fixtures", "ont")
+    ls = os.path.join(here, "tests", "fixtures", "longsim")
+    graph = load_alignment_graph(os.path.join(ls, "graph.vg"))
+    reads = load_fastq(os.path.join(ont, "reads.fastq")) * 8  # 200 reads
+    seen: dict = {}
+    uniq = []
+    for r in reads:
+        k = seen.get(r.seq_id, 0)
+        seen[r.seq_id] = k + 1
+        from dataclasses import replace
+
+        uniq.append(replace(r, seq_id=f"{r.seq_id}_t{k}"))
+    seeds0 = load_seed_hits(
+        os.path.join(ont, "seeds.gam"), [r.seq_id for r in load_fastq(os.path.join(ont, "reads.fastq"))]
+    )
+    seed_map = {
+        r.seq_id: seeds0[r.seq_id.rsplit("_t", 1)[0]] for r in uniq
+    }
+    _align(
+        graph,
+        uniq,
+        seed_map,
+        "ONT ~18% error 10kb, ramping b=5 B=20 (HMM regime)",
+        {},
+        bandwidth=5,
+        ramp=20,
+    )
+
+
 def main():
     bench_linear_chain()
     bench_bluntified_ont()
     bench_variation_ramping()
+    bench_ont_tier()
 
 
 if __name__ == "__main__":

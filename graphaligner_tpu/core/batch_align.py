@@ -1593,15 +1593,21 @@ class BandedBatchAligner:
         starts: list = [None] * len(walk_idx)
         tie_idx = []
         n_mn = 0
+        # bulk .tolist() once — per-element numpy scalar reads in the
+        # loop below cost ~5us each on this 1-core host
+        nmins_l = nmins.tolist()
+        same_node_l = same_node.tolist()
+        pw, sw_, ow = pos_w.tolist(), slot_w.tolist(), off_w.tolist()
+        pl, sl_, ol = pos_l.tolist(), slot_l.tolist(), off_l.tolist()
         for w, i in enumerate(walk_idx):
-            if nmins[w] == 0:
+            if nmins_l[w] == 0:
                 # host/device min divergence: no cell holds the accepted
                 # min — fail the lane (starts[w] stays None)
                 continue
-            if nmins[w] == 1:
-                starts[w] = (int(pos_w[w]), int(slot_w[w]), int(off_w[w]))
-            elif same_node[w]:
-                starts[w] = (int(pos_l[w]), int(slot_l[w]), int(off_l[w]))
+            if nmins_l[w] == 1:
+                starts[w] = (pw[w], sw_[w], ow[w])
+            elif same_node_l[w]:
+                starts[w] = (pl[w], sl_[w], ol[w])
             else:
                 tie_idx.append((w, i))
                 n_mn += 1

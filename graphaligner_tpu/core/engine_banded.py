@@ -214,8 +214,10 @@ def banded_scan(
         if mesh is not None
         else None
     )
+    from ..ops.pallas.banded_cell import cell_unroll
+
     key = (S_max, Nm, Cm, I_proj, P_fix, B, unroll, use_pallas, _ablate,
-           _proj, segmented, mesh_key, _cell_bb(), tie8)
+           _proj, segmented, mesh_key, _cell_bb(), cell_unroll(), tie8)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         inner = functools.partial(

@@ -67,7 +67,7 @@ def main():
 
         problems = (base_problems * ((B // len(base_problems)) + 1))[:B]
         tok = aligner._start_run(problems)
-        out = tok[-1][0]
+        out = tok[6][0]
         for k, v in out.items():
             if hasattr(v, "block_until_ready"):
                 v.block_until_ready()
@@ -76,7 +76,7 @@ def main():
         for rep in range(3):
             t0 = time.time()
             tok = aligner._start_run(problems)
-            out = tok[-1][0]
+            out = tok[6][0]
             for k, v in out.items():
                 if hasattr(v, "block_until_ready"):
                     v.block_until_ready()
