@@ -240,7 +240,7 @@ def _consol_fn(with_codes: bool, first: bool):
 
     EMPTYi = int(EMPTY)
 
-    def build(band_dev, lens_dev, pred_dev, cols_dev, codes_dev,
+    def build(band_dev, lens_dev, pred_dev, pprev_dev, cols_dev, codes_dev,
               lane_pos, steps, mask, *accs):
         # steps/mask: [K_max+1, Bp] with row 0 (the lead pad slice) all
         # False — gathers then emit the pad fill there automatically
@@ -254,6 +254,7 @@ def _consol_fn(with_codes: bool, first: bool):
         band_g = g3(band_dev)
         lens_g = g3(lens_dev)
         pred_g = g3(pred_dev)
+        pprev_g = g3(pprev_dev)
         cols_g = jnp.take_along_axis(
             cols_dev[:, :, :, lane_pos], steps[:, None, None, :], axis=0
         )
@@ -261,13 +262,15 @@ def _consol_fn(with_codes: bool, first: bool):
             band_t = jnp.where(mask3, band_g, EMPTYi)
             lens_t = jnp.where(mask3, lens_g, 0)
             pred_t = jnp.where(mask3, pred_g, 0)
+            pprev_t = jnp.where(mask3, pprev_g, 0)
             cols_t = jnp.where(mask4, cols_g, 0)
         else:
             band_t = jnp.where(mask3, band_g, accs[0])
             lens_t = jnp.where(mask3, lens_g, accs[1])
             pred_t = jnp.where(mask3, pred_g, accs[2])
-            cols_t = jnp.where(mask4, cols_g, accs[3])
-        out = [band_t, lens_t, pred_t, cols_t]
+            pprev_t = jnp.where(mask3, pprev_g, accs[3])
+            cols_t = jnp.where(mask4, cols_g, accs[4])
+        out = [band_t, lens_t, pred_t, pprev_t, cols_t]
         if with_codes:
             cg = jnp.take_along_axis(
                 codes_dev[:, :, lane_pos], steps3, axis=0
@@ -276,7 +279,7 @@ def _consol_fn(with_codes: bool, first: bool):
             out.append(
                 jnp.where(mask3, cg, zero8)
                 if first
-                else jnp.where(mask3, cg, accs[4])
+                else jnp.where(mask3, cg, accs[5])
             )
         return tuple(out)
 
@@ -284,9 +287,9 @@ def _consol_fn(with_codes: bool, first: bool):
         fn = jax.jit(build)
     else:
         # merge rounds reuse the donated accumulator buffers in place
-        n_acc = 5 if with_codes else 4
+        n_acc = 6 if with_codes else 5
         fn = jax.jit(
-            build, donate_argnums=tuple(range(8, 8 + n_acc))
+            build, donate_argnums=tuple(range(9, 9 + n_acc))
         )
     _CONSOL_JIT[key] = fn
     return fn
@@ -357,10 +360,12 @@ class _Round:
         tie16_dev=None,  # [S, Nm, B] device packed score deltas
         ids_sub_dev=None,  # [ceil(S/8), Nm, B] device
         codes_dev=None,  # [S, 64, B] device uint8 (walk-layout read codes)
+        pred_prev_dev=None,  # [S, Nm, B] device packed (prev_slot|in_prev<<5)<<6k
     ):
         self.tie16_dev = tie16_dev
         self.ids_sub_dev = ids_sub_dev
         self.codes_dev = codes_dev
+        self.pred_prev_dev = pred_prev_dev
         self._tie16_cols: dict = {}
         self.lanes = lanes
         self.start_slice = start_slice
@@ -1027,6 +1032,15 @@ class BandedBatchAligner:
         if not walk_idx:
             return ("done", results)
         if self._long_mode:
+            from ..ops.pallas import walk_moves as wm
+
+            if not wm.moves_walk_fits(self.Cm, self.Nm):
+                # giant retry tier (Cm >= 1792): no walk window fits the
+                # kernel's VMEM budget — fail these lanes loudly so the
+                # driver's host fallback (or GA_NO_FALLBACK) takes them
+                for i in walk_idx:
+                    lanes[i].failed = True
+                return ("done", results)
             # memory-bounded long-read walk: recompute + walk one window
             # (round) at a time, newest first, carrying lane state across
             # windows (runs synchronously at dispatch)
@@ -1091,6 +1105,8 @@ class BandedBatchAligner:
 
         K_max = _quantize_k(int(max(keeps[i] for i in walk_idx)))
 
+        from ..ops.pallas import walk_moves as wm
+
         use_moves = (
             (
                 jax.default_backend() != "cpu"
@@ -1098,6 +1114,7 @@ class BandedBatchAligner:
             )
             and self.tables.k_in <= 4
             and self.Nm <= 32
+            and wm.moves_walk_fits(self.Cm, self.Nm)
             and native.get_lib() is not None
         )
         if use_moves:
@@ -1195,7 +1212,7 @@ class BandedBatchAligner:
         # lane-pad to a 128-multiple; the jitted consolidation emits the
         # tabs already padded AND carrying the leading below-window slice
         Bp = max(128, -(-n // 128) * 128)
-        cols_tab, band_tab, lens_tab, pred_tab, codes_tab = (
+        cols_tab, band_tab, lens_tab, pred_tab, pprev_tab, codes_tab = (
             self._consolidate_walk(lanes, keeps, K_max, blk, Bp)
         )
         from .backtrace_device import _BT_MATCH
@@ -1254,6 +1271,7 @@ class BandedBatchAligner:
             band_tab,
             lens_tab,
             pred_tab,
+            pprev_tab,
             codes8,
             bits_lut,
             row1(self._seq_lens[blk]),
@@ -1715,7 +1733,7 @@ class BandedBatchAligner:
 
     def _consolidate_walk(self, lanes, keeps, K_max, blk, Bp):
         """Jitted walk-table consolidation for one dispatch block:
-        returns (cols, band, lens, pred, codes) device tabs, already
+        returns (cols, band, lens, pred, pred_prev, codes) device tabs, already
         lane-padded to Bp and carrying the walk kernel's leading
         below-window pad slice (shape [K_max+1, ..., Bp]). codes is
         None when any source round lacks the device codes passthrough
@@ -1756,6 +1774,7 @@ class BandedBatchAligner:
                 rnd.band_ids_dev,
                 rnd.lens_tab_dev,
                 rnd.pred_tab_dev,
+                rnd.pred_prev_dev,
                 rnd.cols_dev,
                 rnd.codes_dev if want_codes else dummy_codes,
                 lane_pos,
@@ -1763,9 +1782,9 @@ class BandedBatchAligner:
                 mask,
                 *accs,
             )
-        band_t, lens_t, pred_t, cols_t = accs[:4]
-        codes_t = accs[4] if want_codes else None
-        return cols_t, band_t, lens_t, pred_t, codes_t
+        band_t, lens_t, pred_t, pprev_t, cols_t = accs[:5]
+        codes_t = accs[5] if want_codes else None
+        return cols_t, band_t, lens_t, pred_t, pprev_t, codes_t
 
     def _consolidate(self, lanes, keeps, K_max, layout, *, subset=None):
         """Gather per-lane table slices from each round's device-resident
@@ -1974,6 +1993,7 @@ class BandedBatchAligner:
             band_w = g3(rnd.band_ids_dev, int(EMPTY))
             lens_w = g3(rnd.lens_tab_dev, 0)
             pred_w = g3(rnd.pred_tab_dev, 0)
+            pprev_w = g3(rnd.pred_prev_dev, 0)
             cols_src = out["cols"][:, :, :, lr_d]  # [S, 7, Cm, B]
             cols_w = jnp.take_along_axis(
                 cols_src, steps_d[:, None, None, :], axis=0
@@ -1986,6 +2006,7 @@ class BandedBatchAligner:
             prev0_band = jnp.full((band_w.shape[1], B), int(EMPTY), band_w.dtype)
             prev0_lens = jnp.zeros((band_w.shape[1], B), band_w.dtype)
             prev0_pred = jnp.zeros((band_w.shape[1], B), band_w.dtype)
+            prev0_pprev = jnp.zeros((band_w.shape[1], B), band_w.dtype)
             by_prev: dict = {}
             for i, s_ in segs_here.items():
                 segs = lane_segs[i]
@@ -2034,10 +2055,14 @@ class BandedBatchAligner:
                 prev0_pred = prev0_pred.at[:, jnp.asarray(idxs)].set(
                     jnp.transpose(prnd.pred_tab_dev[pl_d, :, pn_d], (1, 0))
                 )
+                prev0_pprev = prev0_pprev.at[:, jnp.asarray(idxs)].set(
+                    jnp.transpose(prnd.pred_prev_dev[pl_d, :, pn_d], (1, 0))
+                )
             cols_w = jnp.concatenate([prev0_cols[None], cols_w], axis=0)
             band_w = jnp.concatenate([prev0_band[None], band_w], axis=0)
             lens_w = jnp.concatenate([prev0_lens[None], lens_w], axis=0)
             pred_w = jnp.concatenate([prev0_pred[None], pred_w], axis=0)
+            pprev_w = jnp.concatenate([prev0_pprev[None], pprev_w], axis=0)
 
             # lanes whose table ENDS in this window start walking here
             starters = [
@@ -2111,6 +2136,7 @@ class BandedBatchAligner:
                 padB(band_w, int(EMPTY)),
                 padB(lens_w, 0),
                 padB(pred_w, 0),
+                padB(pprev_w, 0),
                 codes8_w,
                 bits_lut,
                 seq_row,
@@ -2398,6 +2424,7 @@ class BandedBatchAligner:
             tie16_dev=out["tie16"],
             ids_sub_dev=out.get("ids_sub"),
             codes_dev=out.get("codes"),
+            pred_prev_dev=out.get("pred_prev"),
         )
         rnd._bw = bw
         rnd._carry_from = [r[2] for r in requests]

@@ -288,6 +288,7 @@ def _shard_banded(fn, mesh, axis, segmented, has_reach=False):
         "sends": P(None, None, axis),
         "lens_tab": P(None, None, axis),
         "pred_tab": P(None, None, axis),
+        "pred_prev": P(None, None, axis),
         "codes": P(None, None, axis),
     }
     try:
@@ -678,6 +679,8 @@ def _banded_scan(
         # ---- in-neighbor classification per slot ---------------------------
         nb_in_cur = []
         nb_cur_slot = []
+        nb_in_prev = []
+        nb_prev_slot = []
         any_banded = jnp.zeros((Nm, B), bool)
         slot_pseudo = jnp.full((Nm, B), INF, jnp.int32)
         for k in range(K_in):
@@ -704,13 +707,25 @@ def _banded_scan(
             any_banded = any_banded | in_cur_k | in_prev_k
             nb_in_cur.append(in_cur_k)
             nb_cur_slot.append(cur_slot_k)
+            nb_in_prev.append(in_prev_k)
+            nb_prev_slot.append(prev_slot_k)
         band_source = ~any_banded & valid_slot
         src_noprev_slot = band_source & ~node_in_prev
         src_sm_slot = band_source & node_in_prev & first_slice[None, :]
         pred_tab = jnp.zeros((Nm, B), jnp.int32)
+        pred_prev = jnp.zeros((Nm, B), jnp.int32)
         for k in range(K_in):
             pred_tab = pred_tab | (
                 (nb_cur_slot[k] | (nb_in_cur[k].astype(jnp.int32) << 5))
+                << (6 * k)
+            )
+            # PREVIOUS-band slot per pred: the walk kernel's boundary
+            # diagonal (row 0) reads the pred's row-63 value from the
+            # previous slice, which the reference allows even when the
+            # pred fell OUT of the current band — pred_tab alone can't
+            # name such preds (its slot bits are current-band refs)
+            pred_prev = pred_prev | (
+                (nb_prev_slot[k] | (nb_in_prev[k].astype(jnp.int32) << 5))
                 << (6 * k)
             )
 
@@ -1128,6 +1143,7 @@ def _banded_scan(
                     jnp.where(am2, node_end, INF),
                     jnp.where(am2, lens, 0),
                     jnp.where(am2, pred_tab, 0),
+                    jnp.where(am2, pred_prev, 0),
                 ],
                 axis=0,
             ),
@@ -1183,13 +1199,14 @@ def _banded_scan(
     # are part of the fixed per-slice cost that dominates this engine on
     # TPU; unrolling amortizes them across k slices at compile-time cost.
     _, ys = jax.lax.scan(slice_step, carry0, xs, unroll=max(1, unroll))
-    nm_pack, ctrl_pack, cols = ys  # [S,5,Nm,B], [S,B] packed, [S,7,Cm,B]
+    nm_pack, ctrl_pack, cols = ys  # [S,6,Nm,B], [S,B] packed, [S,7,Cm,B]
     sends = cols[:, 5]
     band_ids = nm_pack[:, 0]
     node_min = nm_pack[:, 1]
     node_end = nm_pack[:, 2]
     lens_tab = nm_pack[:, 3]
     pred_tab = nm_pack[:, 4]
+    pred_prev = nm_pack[:, 5]
     # unpack the control word and reconstruct absolute per-slice minima
     # from the delta stream: cumulative sum with resets at segment
     # starts (fresh problems restart from 0) and the dispatch carry
@@ -1275,6 +1292,11 @@ def _banded_scan(
         "sends": sends,  # [S, Cm, B] per-cell last-row scores
         "lens_tab": lens_tab,  # [S, Nm, B] per-slot node lengths
         "pred_tab": pred_tab,  # [S, Nm, B] packed pred (slot|valid<<5)<<6k
+        # PREVIOUS-band pred slots, same packing: the walk kernel's
+        # boundary diagonal reads preds out of the previous slice even
+        # when they fell out of the current band (pickBacktracePredecessor
+        # via getValueOrMax on the previous slice, GraphAligner.h:493-591)
+        "pred_prev": pred_prev,  # [S, Nm, B] packed (prev_slot|in_prev<<5)<<6k
         # read codes passed through to a DEVICE-RESIDENT buffer in the
         # walk kernel's [S, 64, B] layout: the backtrace walk gathers
         # its per-slice codes from here (batch_align._consolidate)

@@ -57,7 +57,7 @@ _VMEM_BUDGET_WORDS = 15 * 2**20 // 4
 
 def _per_lane_words(Cm, Nm, K):
     T_w = (K * 112 + 512 + 7) // 8
-    return 24 * Cm + 10 * Nm + T_w + 220
+    return 24 * Cm + 12 * Nm + T_w + 220
 
 
 def pick_block_width(cols_shape, Nm, Bb):
@@ -77,6 +77,17 @@ def pick_block_width(cols_shape, Nm, Bb):
     while Bb > 128 and per_lane * Bb > _VMEM_BUDGET_WORDS:
         Bb //= 2
     return Bb
+
+
+def moves_walk_fits(Cm, Nm) -> bool:
+    """Whether the move-walk kernel fits ANY window in scoped VMEM at
+    the Bb=128 lane-block floor. Giant capacity-retry tiers
+    (Cm >= 1792) cannot — their two double-buffered 6-field column
+    blocks alone bust the 16 MiB budget — so callers must route those
+    lanes to the XLA walk (short tables) or fail them to the host
+    fallback instead of submitting a compile that Mosaic rejects
+    (first hit by the ONT b5/B20 tier's Cm=2304 ladder rung)."""
+    return _per_lane_words(Cm, Nm, 32) * 128 <= _VMEM_BUDGET_WORDS
 
 
 def max_window_slices(Cm, Nm):
@@ -128,6 +139,10 @@ def walk_moves_kernel(
     band_tab,  # [K+1, Nm, B] int32 band node ids (EMPTY pad)
     lens_tab,  # [K+1, Nm, B] int32 per-slot node lengths
     pred_tab,  # [K+1, Nm, B] int32 packed preds (slot|valid<<5)<<6k
+    pred_prev_tab,  # [K+1, Nm, B] int32 packed PREVIOUS-band pred slots
+    #                 (prev_slot|in_prev<<5)<<6k — the boundary diagonal
+    #                 (row 0) reads preds out of the previous slice even
+    #                 when they fell out of the current band
     codes8,  # [K+1, 64, B] uint8 read codes (match masks expand on device)
     bits_lut,  # [R] int32 read-code -> 5-bit match mask lut
     seq_len,  # [1, B] int32 (getValueOrMax default)
@@ -171,6 +186,7 @@ def walk_moves_kernel(
         lens_cur,
         lens_prev,
         pred_cur,
+        pprev_cur,
         mtab_cur,
         sl_ref,
         seed_ref,
@@ -222,6 +238,7 @@ def walk_moves_kernel(
         band_c = band_cur[0]
         band_p = band_prev[0]
         pred_c = pred_cur[0]
+        pprev_c = pprev_cur[0]
         mt = mtab_cur[0]  # [64, Bb]
         seq_len_v = sl_ref[0, :]
         seed_v = seed_ref[0, :]
@@ -354,43 +371,68 @@ def walk_moves_kernel(
             n_here = here
             n_col = col
             predw = oh_read_nm(pred_c, slot)
+            predprevw = oh_read_nm(pprev_c, slot)
             pslots = [(predw >> (6 * k)) & 31 for k in range(K_in)]
+            pslots_prev = [(predprevw >> (6 * k)) & 31 for k in range(K_in)]
+            pprev_valids = [
+                ((predprevw >> (6 * k + 5)) & 1) == 1 for k in range(K_in)
+            ]
             u_offs = [
                 jnp.where(is_start, oh_read_nm(lens_c, pslots[k]) - 1, off - 1)
-                for k in range(K_in)
-            ]
-            u_nodes = [
-                jnp.where(is_start, oh_read_nm(band_c, pslots[k]), node_id)
                 for k in range(K_in)
             ]
             # boundary (row 0) values from the previous slice: needed only
             # when some lane sits at row 0 (~1 in 64 lockstep steps since
             # lanes descend roughly together), so ONE scalar cond gates
-            # all K_in+1 [Cm, Bb] reads (a per-read cond was tried in
-            # round 1 and lost; the fused gate skips 3 reads at once)
+            # all the [Cm, Bb] reads (a per-read cond was tried in
+            # round 1 and lost; the fused gate skips them at once).
+            # Pred values read by PREV-BAND SLOT (pslots_prev), so the
+            # boundary diagonal sees preds that fell out of the current
+            # band (pickBacktracePredecessor reads the previous slice via
+            # getValueOrMax regardless of current-band membership); the
+            # same-cell vertical value still resolves by node id.
             any_bd = jnp.any(active & (row_in == 0))
 
             def bd_read(args):
-                uns, uos, nid, off_ = args
-                vals = [
-                    prev_value(uns[k], uos[k], default) for k in range(K_in)
-                ]
+                nid, off_ = args
+                # within-node diagonal value (same node, off-1) for
+                # ~is_start lanes — k==0's only D candidate there
+                wn_d = prev_value(nid, off_ - 1, default)
+                vals = []
+                offs_po = []
+                for k in range(K_in):
+                    off_pk = oh_read_nm(lens_p, pslots_prev[k]) - 1
+                    cell = oh_read_nm(offs_p, pslots_prev[k]) + off_pk
+                    ohc = iota_cm == jnp.clip(cell, 0, Cm - 1)[None, :]
+                    send5 = jnp.sum(
+                        jnp.where(ohc, cols_prev[0, 5], 0), axis=0
+                    )
+                    # q==1: the synthetic initial band holds only the
+                    # seed node at score 0, so membership implies value 0
+                    v = jnp.where(q == 1, 0, send5)
+                    sv = jnp.where(pprev_valids[k], v, default)
+                    vals.append(jnp.where(is_start, sv, wn_d))
+                    offs_po.append(off_pk)
                 vals.append(prev_value(nid, off_, default))
-                return jnp.stack(vals, axis=0)
+                return jnp.stack(vals + offs_po, axis=0)
 
             bd_st = jax.lax.cond(
                 any_bd,
                 bd_read,
                 lambda args: jnp.broadcast_to(
-                    default[None, :], (K_in + 1, Bb)
+                    default[None, :], (2 * K_in + 1, Bb)
                 ).astype(jnp.int32)
-                * jnp.ones((K_in + 1, Bb), jnp.int32),
-                (u_nodes, u_offs, node_id, off),
+                * jnp.ones((2 * K_in + 1, Bb), jnp.int32),
+                (node_id, off),
             )
             bd = [bd_st[k] for k in range(K_in + 1)]
+            po_offs = [bd_st[K_in + 1 + k] for k in range(K_in)]
             # k>=1 predecessor columns only exist at node-start cells
             # (~1 in 12 steps); a SCALAR any() gates those block reads
             any_start = jnp.any(active & is_start)
+            po_any = jnp.zeros(Bb, bool)
+            po_slot = jnp.zeros(Bb, jnp.int32)
+            po_off = jnp.zeros(Bb, jnp.int32)
             for k in range(K_in):
                 pslot_k = pslots[k]
                 pvalid_k = ((predw >> (6 * k + 5)) & 1) == 1
@@ -418,7 +460,16 @@ def walk_moves_kernel(
                 d_ok = (matched & (diag == here)) | (
                     ~matched & (diag == here - 1)
                 )
-                take_d = uv & d_ok & ~decided & ~take_h
+                # the boundary diagonal (row 0) additionally admits preds
+                # present only in the PREVIOUS band (the reference reads
+                # the previous slice via getValueOrMax regardless of
+                # current-band membership); bd[k] already carries their
+                # values via pslots_prev
+                prev_only_k = (
+                    active & is_start & (row_in == 0)
+                    & ~pvalid_k & pprev_valids[k]
+                )
+                take_d = (uv | prev_only_k) & d_ok & ~decided & ~take_h
                 take = take_h | take_d
                 move = jnp.where(
                     take_h, jnp.where(is_start, 8 + k, 3), move
@@ -433,6 +484,14 @@ def walk_moves_kernel(
                     take_h | (take_d & ~matched), here - 1, n_here
                 )
                 n_col = [jnp.where(take, u_col[f], c) for f, c in enumerate(n_col)]
+                # a prev-only D lands directly in slice q-1 at the pred's
+                # end cell: remember its PREV-band slot/off — the generic
+                # transition below re-expresses via the current band and
+                # would resolve a junk slot for these lanes
+                po_fire = take_d & prev_only_k
+                po_any = po_any | po_fire
+                po_slot = jnp.where(po_fire, pslots_prev[k], po_slot)
+                po_off = jnp.where(po_fire, po_offs[k], po_off)
                 decided = decided | take
             vert_in = col_value(col, row_in - 1)
             vert = jnp.where(row_in == 0, bd[K_in], vert_in)
@@ -447,6 +506,9 @@ def walk_moves_kernel(
             # slice transition: re-express (slot, off) in slice q-1's layout
             cur_node2 = oh_read_nm(band_c, n_slot)
             t_slot = prev_slot_of(cur_node2)
+            # prev-only D destinations already carry their PREV-band slot
+            t_slot = jnp.where(po_any, po_slot, t_slot)
+            n_off = jnp.where(po_any, po_off, n_off)
             n_sk = jnp.where(moved_down, sk - 1, sk)
             n_slot = jnp.where(moved_down, t_slot, n_slot)
             n_row2 = jnp.where(moved_down, 63, n_row)
@@ -590,6 +652,7 @@ def walk_moves_kernel(
             pl.BlockSpec((1, Nm, Bb), im_cur3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Nm, Bb), im_prev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Nm, Bb), im_cur3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nm, Bb), im_cur3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 64, Bb), im_cur3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Bb), im_b, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Bb), im_b, memory_space=pltpu.VMEM),
@@ -626,6 +689,7 @@ def walk_moves_kernel(
         lens_tab,
         lens_tab,
         pred_tab,
+        pred_prev_tab,
         mtab,
         seq_len,
         seed_node,

@@ -107,10 +107,11 @@ def test_walk_block_width_respects_vmem_budget():
     assert pick_block_width((158, 7, 288, 256), 32, 256) == 256
     assert pick_block_width((11, 7, 288, 384), 32, 256) == 128
     # the window cap makes the Bb=128 projection feasible where the
-    # fixed 320-slice LONG_WINDOW was not: Cm=1152 caps at 176 slices
-    # and fits; benched tiers keep LONG_WINDOW (cap >= 320)
-    assert max_window_slices(1152, 32) == 176
-    assert _per_lane_words(1152, 32, 176) * 128 <= _VMEM_BUDGET_WORDS
+    # fixed 320-slice LONG_WINDOW was not: Cm=1152 caps at 160 slices
+    # (was 176 before the pred_prev boundary table joined the Nm-block
+    # set) and fits; benched tiers keep LONG_WINDOW (cap >= 320)
+    assert max_window_slices(1152, 32) == 160
+    assert _per_lane_words(1152, 32, 160) * 128 <= _VMEM_BUDGET_WORDS
     assert _per_lane_words(1152, 32, 320) * 128 > _VMEM_BUDGET_WORDS
     assert max_window_slices(288, 32) >= 320
     assert max_window_slices(576, 32) >= 320
