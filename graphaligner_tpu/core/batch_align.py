@@ -762,10 +762,25 @@ class BandedBatchAligner:
         ]
         cw = max(S_max, true_S)
         codes = np.full((n, cw * WORD_SIZE), _READ_CODE["N"], dtype=np.uint8)
-        seq_lens = np.zeros(n, dtype=np.int32)
-        for i, (seq, _) in enumerate(problems):
-            codes[i, : len(seq)] = encode_read(seq)
-            seq_lens[i] = len(seq)
+        # ONE LUT pass + per-problem CONTIGUOUS row copies: per-problem
+        # encode_read calls (encode + LUT + a full validity pass each)
+        # cost ~40us/problem of the short-read host wall. (A fancy-index
+        # scatter variant was tried and LOST 4.5x — np.repeat traffic.)
+        from .engine import _ENCODE_LUT
+
+        seq_lens = np.fromiter(
+            (len(seq) for seq, _ in problems), np.int64, n
+        )
+        joined = "".join(seq for seq, _ in problems).encode("latin-1")
+        enc = _ENCODE_LUT[np.frombuffer(joined, np.uint8)]
+        if len(enc) and enc.max(initial=0) == 255:
+            bad = joined[int(np.argmax(enc == 255))]
+            raise ValueError(f"unsupported read character {chr(bad)!r}")
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(seq_lens, out=offs[1:])
+        for i in range(n):
+            codes[i, : seq_lens[i]] = enc[offs[i] : offs[i + 1]]
+        seq_lens = seq_lens.astype(np.int32)
         requests = [
             (i, 0, "init", 0) for i in range(n)
         ]  # (problem, start_slice, carry_ref, ramp_until)

@@ -119,6 +119,7 @@ def shard_banded_scan(graph, mesh, Nm: int = 8, Cm: int = 64, axis: str = "dp"):
             "sends": P(None, None, axis),
             "lens_tab": P(None, None, axis),
             "pred_tab": P(None, None, axis),
+            "pred_prev": P(None, None, axis),
             "codes": P(None, None, axis),
         }
         try:

@@ -179,6 +179,18 @@ def main():
         f"{FIX}/longsim/giant/giant_out.gam", 35, 0,
     )
     if full:
+        # scale tiers: byte-identity is the gate's invariant, but the
+        # long-mode chain DESIGNEDLY fails rare lanes to the host
+        # fallback (an HMM cut into a dropped round's rewind seeds —
+        # batch_align._finish_run / _walk_long's stash-miss paths), so
+        # GA_NO_FALLBACK would abort on behavior that is correct by
+        # construction. The default tiers above keep fail-loud.
+        os.environ.pop("GA_NO_FALLBACK", None)
+        print(
+            "[full gate] scale tiers run with targeted host fallback "
+            "allowed (byte-identity still enforced)",
+            flush=True,
+        )
         check_corpus(
             "huge 100kb (windowed long mode)",
             f"{FIX}/longsim/huge/graph.vg",
