@@ -1198,6 +1198,15 @@ class BandedBatchAligner:
         groups: dict = {}
         for i in walk_idx:
             groups.setdefault(_quantize_k(int(keeps[i])), []).append(i)
+        # sparse rungs ride the next-larger rung: every (K rung, lane
+        # bucket) pair is a fresh 20-150s jit signature and blocks pad
+        # to >=128 lanes anyway, so a <32-lane rung costs more in
+        # compile + padding than its shorter moves buffer saves
+        # (ADVICE r4). Padded slices are inert (no active lane).
+        for kq in sorted(groups):
+            bigger = [q for q in groups if q > kq]
+            if len(groups[kq]) < 32 and bigger:
+                groups[min(bigger)].extend(groups.pop(kq))
         mv_blocks = []
         for kq in sorted(groups, reverse=True):
             g = groups[kq]
