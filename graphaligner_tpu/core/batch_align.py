@@ -2945,16 +2945,21 @@ def align_reads_seeded_batch(
     _revf = np.ascontiguousarray(graph.reverse.astype(np.uint8))
     _rev_pos_c = np.ascontiguousarray(aligner.rev_pos, dtype=np.int64)
 
+    _tp_ctx = (
+        _nat.TracePieceCtx(
+            _rev_pos_c, _p2n, _nstart, _nids, _revf,
+            graph.dummy_node_start, graph.dummy_node_end,
+        )
+        if _tp_lib
+        else None
+    )
+
     def tp_native(trace, trim, rev, end_row, shift):
         """(final_trace, runs|None, tried triples) for one piece —
         native when available, else the trace_ops chain (identical
         semantics; the native path is a C port of these calls)."""
         if _tp_lib:
-            return _nat.trace_piece(
-                trace, trim, rev, _rev_pos_c, end_row, shift, _p2n,
-                _nstart, _nids, _revf, graph.dummy_node_start,
-                graph.dummy_node_end,
-            )
+            return _tp_ctx.piece(trace, trim, rev, end_row, shift)
         t = trace_ops.trim_trace(as_arr(trace), trim)
         if rev:
             t = trace_ops.reverse_trace(aligner.rev_pos, t, end_row)

@@ -434,6 +434,80 @@ def trace_piece(trace, trim_limit, do_reverse, rev_pos, end_row, shift,
     return final, runs, tried
 
 
+class TracePieceCtx:
+    """Cached-pointer fast path of the per-piece trace finalize
+    (ga_trace_piece2): the 24-argument per-call ctypes marshalling of
+    trace_piece cost ~80us/call — the top host cost of the short-read
+    pipeline. Graph-table addresses resolve ONCE here; per call only
+    the trace and two output buffers are marshalled, and every output
+    lands in one [11, n+1] int64 slab. Returns match trace_piece."""
+
+    def __init__(self, rev_pos, pos_to_node, node_start, node_ids,
+                 rev_flags, dummy_start, dummy_end):
+        lib = get_lib()
+        self.lib = lib
+        if lib is None:
+            return
+        if not getattr(lib, "_tp2_ready", False):
+            vp = ctypes.c_void_p
+            i64 = ctypes.c_int64
+            i32 = ctypes.c_int32
+            lib.ga_trace_piece2.restype = ctypes.c_int
+            lib.ga_trace_piece2.argtypes = [
+                vp, i64, i64, i32,  # trace, n, trim_limit, do_reverse
+                vp, i64, i64,  # rev_pos, end_row, shift
+                vp, vp, vp, vp,  # pos_to_node, node_start, node_ids, rev
+                i32, i32,  # dummy_start, dummy_end
+                vp, vp,  # out_trace, slab
+            ]
+            lib._tp2_ready = True
+        # keep the table arrays alive for the cached raw addresses
+        self._keep = (rev_pos, pos_to_node, node_start, node_ids, rev_flags)
+        self.p_rev = rev_pos.ctypes.data
+        self.p_p2n = pos_to_node.ctypes.data
+        self.p_nstart = node_start.ctypes.data
+        self.p_nids = node_ids.ctypes.data
+        self.p_revf = rev_flags.ctypes.data
+        self.ds = int(dummy_start)
+        self.de = int(dummy_end)
+
+    def piece(self, trace, trim_limit, do_reverse, end_row, shift):
+        trace = np.ascontiguousarray(trace, dtype=np.int64)
+        n = len(trace)
+        R = n + 1
+        slab = np.empty((11, R), np.int64)
+        out_trace = np.empty((n, 2), np.int64)
+        rc = self.lib.ga_trace_piece2(
+            trace.ctypes.data, n, int(trim_limit),
+            1 if do_reverse else 0, self.p_rev, int(end_row), int(shift),
+            self.p_p2n, self.p_nstart, self.p_nids, self.p_revf,
+            self.ds, self.de, out_trace.ctypes.data, slab.ctypes.data,
+        )
+        if rc != 0:
+            raise ValueError("native crash in trace finalize")
+        meta = slab[10]
+        m, nr, nw = int(meta[0]), int(meta[1]), int(meta[2])
+        final = out_trace[:m]
+        tried = list(
+            zip(slab[1, :nr].tolist(), slab[2, :nr].tolist(),
+                slab[0, :nr].tolist())
+        )
+        if nw == 0:
+            return final, None, tried
+        # small-row COPIES (a view would pin the whole per-read slab)
+        runs = {
+            "node_idx": slab[3, :nw].astype(np.int32),
+            "node_id": slab[4, :nw].copy(),
+            "rev": slab[5, :nw].astype(bool),
+            "offsets": slab[6, :nw].copy(),
+            "ranks": np.arange(nw, dtype=np.int64),
+            "from_len": slab[7, :nw].copy(),
+            "to_len": slab[8, :nw].copy(),
+            "rstart": slab[9, :nw].copy(),
+        }
+        return final, runs, tried
+
+
 def decode_moves_batch(moves2d, cols, start_ws, start_rows, node_start,
                        node_end, pos_to_node, in_nbrs, cap, nthreads):
     """Decode every lane of one walk block in ONE native call (internal

@@ -565,6 +565,115 @@ int ga_trace_piece(
 }
 
 // ---------------------------------------------------------------------------
+// Slab variant of ga_trace_piece: all outputs int64 rows of ONE
+// caller-provided [11, n+1] slab (rows: 0 fr_node, 1 fr_rfirst,
+// 2 fr_rlast, 3 w_node_idx, 4 w_node_id, 5 w_rev, 6 w_offsets,
+// 7 w_from_len, 8 w_to_len, 9 w_rstart; row 10 carries meta[0..2]).
+// Exists because the 24-pointer ctypes marshalling of ga_trace_piece
+// cost ~80us per call — the top host cost of the short-read pipeline
+// (BENCH.md round 5). Logic identical to ga_trace_piece.
+// ---------------------------------------------------------------------------
+int ga_trace_piece2(
+    const int64_t* trace, int64_t n, int64_t trim_limit, int32_t do_reverse,
+    const int64_t* rev_pos, int64_t end_row, int64_t shift,
+    const int32_t* pos_to_node, const int64_t* node_start,
+    const int64_t* node_ids, const uint8_t* rev_flags, int32_t dummy_start,
+    int32_t dummy_end, int64_t* out_trace, int64_t* slab) {
+  if (GA_GUARD()) return -2;
+  const int64_t R = n + 1;  // slab row stride
+  int64_t* fr_node = slab + 0 * R;
+  int64_t* fr_rfirst = slab + 1 * R;
+  int64_t* fr_rlast = slab + 2 * R;
+  int64_t* w_node_idx = slab + 3 * R;
+  int64_t* w_node_id = slab + 4 * R;
+  int64_t* w_rev = slab + 5 * R;
+  int64_t* w_offsets = slab + 6 * R;
+  int64_t* w_from_len = slab + 7 * R;
+  int64_t* w_to_len = slab + 8 * R;
+  int64_t* w_rstart = slab + 9 * R;
+  int64_t* meta = slab + 10 * R;
+  // 1. trim
+  int64_t m = n;
+  if (trim_limit >= 0) {
+    int64_t lo = 0, hi = n;
+    while (lo < hi) {
+      int64_t mid = (lo + hi) / 2;
+      if (trace[2 * mid + 1] < trim_limit) lo = mid + 1; else hi = mid;
+    }
+    m = lo;
+  }
+  // 2. transform
+  if (do_reverse) {
+    for (int64_t i = 0; i < m; i++) {
+      int64_t src = m - 1 - i;
+      out_trace[2 * i] = rev_pos[trace[2 * src]];
+      out_trace[2 * i + 1] = end_row - trace[2 * src + 1];
+    }
+  } else {
+    for (int64_t i = 0; i < m; i++) {
+      out_trace[2 * i] = trace[2 * i];
+      out_trace[2 * i + 1] = trace[2 * i + 1] + shift;
+    }
+  }
+  // 3. full node runs
+  std::vector<int64_t> run_s;
+  run_s.reserve(64);
+  int64_t nr = 0;
+  int32_t prev_node = -2;
+  for (int64_t i = 0; i < m; i++) {
+    int32_t node = pos_to_node[out_trace[2 * i]];
+    if (node != prev_node) {
+      fr_node[nr] = node;
+      fr_rfirst[nr] = out_trace[2 * i + 1];
+      run_s.push_back(i);
+      nr++;
+      prev_node = node;
+    }
+    fr_rlast[nr - 1] = out_trace[2 * i + 1];
+  }
+  meta[0] = m;
+  meta[1] = nr;
+  meta[2] = 0;
+  // 4. trace_to_runs window
+  int64_t k = 0;
+  while (k < nr && fr_node[k] == dummy_start) k++;
+  if (k == nr || fr_node[k] == dummy_end) {
+    GA_UNGUARD();
+    return 0;
+  }
+  int64_t stop = nr;
+  for (int64_t j = k; j < nr; j++) {
+    if (fr_node[j] == dummy_end) { stop = j; break; }
+  }
+  int64_t nw = stop - k;
+  for (int64_t j = k; j < stop; j++) {
+    int64_t o = j - k;
+    int32_t node = (int32_t)fr_node[j];
+    int64_t s_idx = run_s[(size_t)j];
+    int64_t e_idx = (j + 1 < nr ? run_s[(size_t)(j + 1)] : m) - 1;
+    int64_t w_start = out_trace[2 * s_idx];
+    int64_t w_end = out_trace[2 * e_idx];
+    int64_t r_end = out_trace[2 * e_idx + 1];
+    w_node_idx[o] = node;
+    w_node_id[o] = node_ids[node];
+    w_rev[o] = rev_flags[node];
+    w_offsets[o] = (o == 0) ? w_start - node_start[node] : 0;
+    w_from_len[o] = w_end - w_start + 1;
+    w_rstart[o] = out_trace[2 * s_idx + 1];
+    if (o == 0) {
+      w_to_len[o] = r_end - out_trace[2 * s_idx + 1];
+    } else {
+      int64_t pe_idx = run_s[(size_t)j] - 1;
+      w_to_len[o] = r_end - out_trace[2 * pe_idx + 1];
+    }
+  }
+  w_from_len[nw - 1] -= 1;
+  meta[2] = nw;
+  GA_UNGUARD();
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Batched move decode: all lanes of one walk block in ONE call.
 //
 // The per-lane Python path (thread pool of ctypes ga_decode_moves calls)
